@@ -1,0 +1,119 @@
+"""Env-layer tests: shapes, stepping, determinism, resets, curriculum.
+
+The analog of the reference smoke test (scripts/go1/test.py: build a small
+world, step it, verify nothing explodes) plus the invariants the reference
+never checks.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wtw_tpu.config import go1_flat_config, go1_mob_config
+from wtw_tpu.envs import LeggedEnv
+from wtw_tpu.models import load_robot
+
+
+@pytest.fixture(scope="module")
+def flat_env():
+    cfg = go1_flat_config(num_envs=8)
+    return LeggedEnv(cfg, load_robot("go1"))
+
+
+@pytest.fixture(scope="module")
+def flat_world(flat_env):
+    return flat_env.init_state(jax.random.PRNGKey(0))
+
+
+def test_shapes_flat(flat_env, flat_world):
+    env, world = flat_env, flat_world
+    world, obs_dict = env.get_observations(world)
+    assert obs_dict["obs"].shape == (8, 42)
+    assert obs_dict["privileged_obs"].shape == (8, 2)
+    assert obs_dict["obs_history"].shape == (8, 15 * 42)
+
+    step = jax.jit(env.step)
+    world2, obs_dict, rew, done, info = step(
+        world, jnp.zeros((8, 12)))
+    assert rew.shape == (8,)
+    assert done.shape == (8,)
+    assert bool(jnp.all(jnp.isfinite(obs_dict["obs"])))
+    assert bool(jnp.all(jnp.isfinite(rew)))
+
+
+def test_zero_action_rollout_stable(flat_env, flat_world):
+    """Zero actions = PD to default pose; robots should mostly stay up for
+    100 steps (2 s), like scripts/go1/test.py:198-200."""
+    env, world = flat_env, flat_world
+    step = jax.jit(env.step)
+
+    def body(w, _):
+        w, _, rew, done, _ = step(w, jnp.zeros((8, 12)))
+        return w, (rew, done, w.env.phys.base_pos[:, 2])
+
+    world, (rews, dones, heights) = jax.lax.scan(body, world, None, length=100)
+    assert bool(jnp.all(jnp.isfinite(rews)))
+    # most robots should stay standing (no terminal height configured here,
+    # so check height band directly)
+    final_h = np.asarray(heights[-1] - np.asarray(world.env.env_origin)[:, 2])
+    assert np.mean((final_h > 0.15) & (final_h < 0.5)) > 0.7, final_h
+
+
+def test_determinism(flat_env, flat_world):
+    env, world = flat_env, flat_world
+    step = jax.jit(env.step)
+    a = jax.random.normal(jax.random.PRNGKey(1), (8, 12)) * 0.1
+
+    def run(w):
+        for _ in range(3):
+            w, od, r, d, _ = step(w, a)
+        return od["obs"], r
+
+    o1, r1 = run(world)
+    o2, r2 = run(world)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_commands_within_ranges(flat_env, flat_world):
+    cmds = np.asarray(flat_world.env.commands)
+    cfg = flat_env.cfg
+    assert cmds.shape == (8, 3)
+    assert np.all(cmds[:, 0] >= cfg.commands.limit_vel_x[0] - 0.1)
+    assert np.all(cmds[:, 0] <= cfg.commands.limit_vel_x[1] + 0.1)
+
+
+def test_mob_env_obs_layout():
+    """MoB config: 70-dim obs = gravity(3)+cmds(15)+q(12)+qd(12)+a(12)+
+    last_a(12)+clock(4) (scripts/go1/train.py:83-90)."""
+    cfg = go1_mob_config(num_envs=4)
+    cfg = cfg.__class__(**{**cfg.__dict__,
+                           "control": cfg.control.__class__(control_type="P")})
+    env = LeggedEnv(cfg, load_robot("go1"))
+    world = env.init_state(jax.random.PRNGKey(0))
+    world, obs_dict = env.get_observations(world)
+    assert obs_dict["obs"].shape == (4, 70)
+    assert obs_dict["privileged_obs"].shape == (4, 2)
+    assert obs_dict["obs_history"].shape == (4, 30 * 70)
+    # gait-category command shaping: phases in {0, 0.5} with binary_phases
+    cmds = np.asarray(world.env.commands)
+    assert np.all(np.isin(np.round(cmds[:, 5] * 2) / 2, [0.0, 0.5]))
+    world2, od, rew, done, info = jax.jit(env.step)(
+        world, jnp.zeros((4, 12)))
+    assert bool(jnp.all(jnp.isfinite(od["obs"])))
+    assert bool(jnp.all(jnp.isfinite(rew)))
+
+
+def test_episode_reset_on_timeout(flat_env):
+    cfg = go1_flat_config(num_envs=4)
+    env = LeggedEnv(cfg, load_robot("go1"))
+    world = env.init_state(jax.random.PRNGKey(3))
+    # force timeout quickly
+    world = world.replace(env=world.env.replace(
+        episode_length=jnp.full((4,), env.max_episode_length, jnp.int32)))
+    world2, od, rew, done, info = jax.jit(env.step)(world, jnp.zeros((4, 12)))
+    assert bool(jnp.all(done))
+    assert bool(jnp.all(info["time_outs"]))
+    assert bool(jnp.all(world2.env.episode_length == 0))
+    # episode sums were captured then cleared
+    assert bool(jnp.all(world2.env.episode_sums == 0.0))

@@ -47,6 +47,8 @@ class EnvCfg:
     priv_observe_com_displacement: bool = False
     priv_observe_motor_strength: bool = False
     priv_observe_motor_offset: bool = False
+    priv_observe_Kp_factor: bool = False
+    priv_observe_Kd_factor: bool = False
     priv_observe_body_velocity: bool = False
     priv_observe_body_height: bool = False
     priv_observe_gravity: bool = False
@@ -191,6 +193,7 @@ class ControlCfg:
 class DomainRandCfg:
     # legged_robot_config.py:243-270, scripts/go1/train.py:30-76
     rand_interval_s: float = 4.0
+    randomize_rigids_after_start: bool = False
     randomize_friction: bool = True
     friction_range: Tuple[float, float] = (0.1, 3.0)
     randomize_restitution: bool = True
@@ -414,8 +417,11 @@ def go1_flat_config(num_envs: int = 16) -> Cfg:
             # go1_config.py:52-57 (plain velocity-tracking recipe)
             tracking_lin_vel=1.0, tracking_ang_vel=0.5, lin_vel_z=-2.0,
             ang_vel_xy=-0.05, torques=-0.0001, dof_acc=-2.5e-7,
-            feet_air_time=1.0, collision=-1.0, action_rate=-0.01,
-            dof_pos_limits=-10.0, orientation=-5.0, base_height=-30.0,
+            # go1_config.py sets feet_air_time=1.0 / base_height=-30.0 but
+            # CoRLRewards implements neither, so the reference silently drops
+            # them (legged_robot.py:1408-1409); we zero them for parity.
+            feet_air_time=0.0, collision=-1.0, action_rate=-0.01,
+            dof_pos_limits=-10.0, orientation=-5.0, base_height=0.0,
             orientation_control=0.0, raibert_heuristic=0.0, jump=0.0,
             tracking_contacts_shaped_force=0.0,
             tracking_contacts_shaped_vel=0.0,

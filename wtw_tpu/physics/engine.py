@@ -299,7 +299,9 @@ def physics_step(model: RobotModel, hf: HeightField, params: EngineParams,
         f = jnp.einsum("pl,pi->li", leg_onehot.astype(c_force.dtype), c_force)
         return jnp.linalg.norm(f, axis=-1)
 
-    base_mask = ((model.sph_label == 0) | (model.sph_label == 1)).astype(c_force.dtype)
+    # trunk only — matches terminate_after_contacts_on=["base"] (go1_config.py:43);
+    # hip contacts are neither penalized nor terminal in the reference.
+    base_mask = (model.sph_label == 0).astype(c_force.dtype)
     base_force = jnp.linalg.norm(jnp.einsum("p,pi->i", base_mask, c_force))
 
     info = ContactInfo(
