@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: env-steps/s of the full jitted PPO_CSE training iteration
+(24-step rollout × N envs × 4 physics substeps + PPO update) on the Go1
+gait-conditioned MoB task — the reference's flagship workload
+(scripts/go1/train.py with 4000 envs on one NVIDIA GPU; the reference
+publishes no throughput numbers, see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: fraction of the BASELINE.json north-star per-chip rate
+(>=5M aggregate env-steps/s at 4096 envs/host on v5p-16 => 1.25M/chip).
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-envs", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--mode", choices=["train", "env"], default="train")
+    args_cli = ap.parse_args()
+
+    from wtw_tpu.config import go1_mob_config
+    from wtw_tpu.envs import LeggedEnv
+    from wtw_tpu.learn import PPOArgs
+    from wtw_tpu.learn.ppo_cse import init_train_state, make_train_fns
+    from wtw_tpu.models import load_robot
+    import dataclasses
+
+    cfg = go1_mob_config(num_envs=args_cli.num_envs)
+    # PD control until the reference actuator-net weights are converted
+    cfg = dataclasses.replace(
+        cfg, control=dataclasses.replace(cfg.control, control_type="P"))
+    env = LeggedEnv(cfg, load_robot("go1"))
+    ppo_args = PPOArgs()
+
+    world = env.init_state(jax.random.PRNGKey(0))
+    world, obs_dict = env.get_observations(world)
+    ts = init_train_state(jax.random.PRNGKey(1), env, ppo_args)
+
+    steps_per_iter = ppo_args.num_steps_per_env * env.num_envs
+
+    if args_cli.mode == "train":
+        fn = jax.jit(make_train_fns(env, ppo_args))
+
+        def run_once(state):
+            ts, world, obs_dict = state
+            ts, world, obs_dict, stats = fn(ts, world, obs_dict)
+            jax.block_until_ready(stats["loss"])
+            return (ts, world, obs_dict)
+
+        state = (ts, world, obs_dict)
+    else:
+        step = jax.jit(env.step)
+
+        def body(world, _):
+            world, _, rew, _, _ = env.step(
+                world, jnp.zeros((env.num_envs, env.num_actions)))
+            return world, rew
+
+        roll = jax.jit(lambda w: jax.lax.scan(
+            body, w, None, length=ppo_args.num_steps_per_env)[0])
+
+        def run_once(state):
+            w = roll(state)
+            jax.block_until_ready(w.env.episode_length)
+            return w
+
+        state = world
+
+    t_compile = time.time()
+    for _ in range(args_cli.warmup):
+        state = run_once(state)
+    compile_s = time.time() - t_compile
+
+    t0 = time.time()
+    for _ in range(args_cli.iters):
+        state = run_once(state)
+    dt = (time.time() - t0) / args_cli.iters
+
+    env_steps_per_s = steps_per_iter / dt
+    baseline_per_chip = 5_000_000 / 4   # v5p-16 => 4 chips
+    result = {
+        "metric": f"env_steps_per_s_{args_cli.mode}_go1_mob_{args_cli.num_envs}envs",
+        "value": round(env_steps_per_s, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(env_steps_per_s / baseline_per_chip, 4),
+    }
+    print(json.dumps(result))
+    print(f"# iter time {dt*1000:.1f} ms | warmup+compile {compile_s:.1f} s "
+          f"| device {jax.devices()[0].device_kind}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Train a quadruped locomotion policy.
+
+The CLI analog of the reference's per-robot train scripts
+(scripts/{go1,go2,b1}/train.py) — one script, robot/task presets instead of
+190-line config-mutation blocks:
+
+    python scripts/train.py --preset go1_flat --num-envs 1024 --iterations 500
+    python scripts/train.py --preset go1_mob  --num-envs 4000 --iterations 100000
+"""
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="go1_flat",
+                    choices=["go1_flat", "go1_mob"])
+    ap.add_argument("--num-envs", type=int, default=None)
+    ap.add_argument("--iterations", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--run-dir", default=None)
+    ap.add_argument("--resume", default=None, help="checkpoint .pkl to resume")
+    ap.add_argument("--log-freq", type=int, default=10)
+    ap.add_argument("--control", default=None, choices=["P", "actuator_net"],
+                    help="override control type")
+    args = ap.parse_args()
+
+    from wtw_tpu import config as C
+    from wtw_tpu.envs import LeggedEnv
+    from wtw_tpu.learn import PPOArgs, Runner, RunnerArgs
+    from wtw_tpu.models import load_robot
+
+    preset_fns = {"go1_flat": C.go1_flat_config, "go1_mob": C.go1_mob_config}
+    cfg = preset_fns[args.preset]()
+    if args.num_envs:
+        cfg = dataclasses.replace(
+            cfg, env=dataclasses.replace(cfg.env, num_envs=args.num_envs))
+    if args.control:
+        cfg = dataclasses.replace(
+            cfg, control=dataclasses.replace(cfg.control,
+                                             control_type=args.control))
+
+    robot = cfg.asset.robot
+    env = LeggedEnv(cfg, load_robot(robot))
+    run_dir = args.run_dir or f"runs/{args.preset}/seed{args.seed}"
+    runner = Runner(
+        env,
+        runner_args=RunnerArgs(run_dir=run_dir, log_freq=args.log_freq,
+                               resume=args.resume is not None,
+                               resume_path=args.resume),
+        seed=args.seed)
+    print(f"preset={args.preset} robot={robot} envs={cfg.env.num_envs} "
+          f"obs={cfg.env.num_observations} -> {run_dir}")
+    runner.learn(args.iterations)
+
+
+if __name__ == "__main__":
+    main()

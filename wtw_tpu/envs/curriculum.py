@@ -137,7 +137,8 @@ def sample_commands(grid: CurriculumGrid, state: CurriculumState,
 
 def update_weights(grid: CurriculumGrid, state: CurriculumState,
                    env_category: jnp.ndarray, env_bin: jnp.ndarray,
-                   success: jnp.ndarray, mask: jnp.ndarray) -> CurriculumState:
+                   success: jnp.ndarray, mask: jnp.ndarray,
+                   axis_name: str | None = None) -> CurriculumState:
     """Dilate weights around successful bins (RewardThresholdCurriculum.update,
     curriculum.py:135-154): each success bumps its own bin and every adjacent
     bin by +0.2, clipped to [0, 1]. Vectorized over all envs at once.
@@ -150,6 +151,11 @@ def update_weights(grid: CurriculumGrid, state: CurriculumState,
     onehot = jax.nn.one_hot(env_bin, n_bins) * contrib[:, None]  # (N, n_bins)
     cat_onehot = jax.nn.one_hot(env_category, n_cat)             # (N, n_cat)
     succ_per_cat_bin = cat_onehot.T @ onehot                     # (n_cat, n_bins)
+    if axis_name is not None:
+        # multi-device: one global curriculum — success counts are summed
+        # over the env-sharded mesh axis so every shard applies the same
+        # update and the replicated weights stay bitwise identical.
+        succ_per_cat_bin = jax.lax.psum(succ_per_cat_bin, axis_name)
     # each success bumps its own bin (+0.2) and every adjacent bin (+0.2);
     # the adjacency box contains the bin itself, so the own bin effectively
     # gets +0.4 per success — matching the reference's two-pass update

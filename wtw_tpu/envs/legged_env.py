@@ -105,7 +105,12 @@ class LeggedEnv:
 
     def __init__(self, cfg: Cfg, model: RobotModel,
                  heightfield: HeightField | None = None,
-                 env_origins: np.ndarray | None = None):
+                 env_origins: np.ndarray | None = None,
+                 axis_name: str | None = None):
+        # axis_name: mesh axis the env batch is sharded over (None = single
+        # device). Cross-shard state (curriculum weights, reward-sign test)
+        # is psum-synchronized so replicated leaves stay identical.
+        self.axis_name = axis_name
         self.cfg = cfg
         self.model = model
         self.hf = heightfield if heightfield is not None else flat_heightfield()
@@ -342,7 +347,7 @@ class LeggedEnv:
             success = jnp.all(rates > self.curr_thresholds[None, :], axis=-1)
             new_curr = curr.update_weights(
                 self.grid, world.curriculum, env.env_category, env.env_bin,
-                success, mask)
+                success, mask, axis_name=self.axis_name)
         else:
             new_curr = world.curriculum
 
@@ -573,8 +578,12 @@ class LeggedEnv:
         scaled = raw_terms * self.term_scales[None, :]
 
         # ji22-style positive/negative split decided by batch-total sign
-        # (legged_robot.py:271-287)
-        term_sign_pos = jnp.sum(scaled, axis=0) >= 0.0       # (n_terms,)
+        # (legged_robot.py:271-287); under sharding the sign test uses the
+        # GLOBAL batch total so all shards agree.
+        term_totals = jnp.sum(scaled, axis=0)                # (n_terms,)
+        if self.axis_name is not None:
+            term_totals = jax.lax.psum(term_totals, self.axis_name)
+        term_sign_pos = term_totals >= 0.0
         rew_pos = jnp.sum(jnp.where(term_sign_pos[None, :], scaled, 0.0), -1)
         rew_neg = jnp.sum(jnp.where(term_sign_pos[None, :], 0.0, scaled), -1)
         if cfg.rewards.only_positive_rewards:

@@ -247,6 +247,7 @@ REWARD_FNS = {
     "feet_clearance_cmd_linear": feet_clearance_cmd_linear,
     "feet_impact_vel": feet_impact_vel,
     "feet_air_time": feet_air_time,
+    "raibert_heuristic": raibert_heuristic,
 }
 
 

@@ -1,0 +1,289 @@
+"""PPO with concurrent state estimation (the WTW flagship learner).
+
+Re-design of go1_gym_learn/ppo_cse/{ppo.py, rollout_storage.py} as a single
+jitted train iteration: 24-step on-device rollout (lax.scan over env.step),
+GAE, then 5 epochs × 4 minibatches of clipped-surrogate PPO with adaptive-KL
+learning rate and the supervised adaptation-module regression substep —
+no host round-trips inside an iteration.
+
+Hyperparameters mirror PPO_Args (ppo_cse/ppo.py:13-30); rollout length
+mirrors RunnerArgs.num_steps_per_env=24 (ppo_cse/__init__.py:46).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models import actor_critic as ac
+
+
+@dataclass(frozen=True)
+class PPOArgs:
+    # ppo_cse/ppo.py:13-30
+    value_loss_coef: float = 1.0
+    use_clipped_value_loss: bool = True
+    clip_param: float = 0.2
+    entropy_coef: float = 0.01
+    num_learning_epochs: int = 5
+    num_mini_batches: int = 4
+    learning_rate: float = 1e-3
+    adaptation_module_learning_rate: float = 1e-3
+    num_adaptation_module_substeps: int = 1
+    schedule: str = "adaptive"
+    gamma: float = 0.99
+    lam: float = 0.95
+    desired_kl: float = 0.01
+    max_grad_norm: float = 1.0
+    # RunnerArgs (ppo_cse/__init__.py:46)
+    num_steps_per_env: int = 24
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    adapt_opt_state: Any
+    lr: jnp.ndarray
+    key: jax.Array
+    iteration: jnp.ndarray
+
+
+@struct.dataclass
+class Transition:
+    obs: jnp.ndarray
+    privileged_obs: jnp.ndarray
+    obs_history: jnp.ndarray
+    actions: jnp.ndarray
+    rewards: jnp.ndarray
+    dones: jnp.ndarray
+    values: jnp.ndarray
+    log_probs: jnp.ndarray
+    mu: jnp.ndarray
+    sigma: jnp.ndarray
+
+
+def make_optimizers(args: PPOArgs):
+    # scale_by_adam (without the LR) so the adaptive-KL learning rate can be
+    # applied as a traced scalar each minibatch (ppo.py:126-132)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.max_grad_norm),
+        optax.scale_by_adam(),
+    )
+    adapt_tx = optax.adam(args.adaptation_module_learning_rate)
+    return tx, adapt_tx
+
+
+def init_train_state(key: jax.Array, env, args: PPOArgs,
+                     ac_args: ac.ACArgs = ac.ACArgs()) -> TrainState:
+    k_params, k_loop = jax.random.split(key)
+    params = ac.init_actor_critic(
+        k_params, env.num_obs, env.num_privileged_obs, env.num_obs_history,
+        env.num_actions, ac_args)
+    tx, adapt_tx = make_optimizers(args)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        adapt_opt_state=adapt_tx.init(params),
+        lr=jnp.float32(args.learning_rate),
+        key=k_loop,
+        iteration=jnp.int32(0),
+    )
+
+
+def compute_gae(rewards, dones, values, last_values, gamma, lam):
+    """rollout_storage.py:76-90. rewards/dones/values: (T, N)."""
+    def body(carry, xs):
+        adv_next, v_next = carry
+        rew, done, val = xs
+        not_done = 1.0 - done
+        delta = rew + not_done * gamma * v_next - val
+        adv = delta + not_done * gamma * lam * adv_next
+        return (adv, val), adv
+
+    (_, _), advs = jax.lax.scan(
+        body, (jnp.zeros_like(last_values), last_values),
+        (rewards, dones.astype(jnp.float32), values), reverse=True)
+    returns = advs + values
+    # advantage normalization (rollout_storage.py:88-90)
+    advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+    return advs, returns
+
+
+def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
+                   axis_name: str | None = None):
+    """Returns train_iteration: one fully jittable (rollout + GAE + update)
+    step operating on (TrainState, WorldState, obs_dict).
+
+    axis_name: when set (multi-device data parallelism over the env-sharded
+    mesh axis), gradients / KL / stats are pmean'd across shards so the
+    replicated TrainState stays bitwise identical on every device —
+    fully-replicated-learner DP, matching the reference's (dormant) rl_games
+    multi_gpu semantics (SURVEY.md §2.7)."""
+    tx, adapt_tx = make_optimizers(args)
+    n_terms = env.n_terms
+
+    def _pmean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name is not None else x
+
+    def _psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    def rollout(ts: TrainState, world, obs_dict):
+        def step_fn(carry, _):
+            key, world, obs_dict = carry
+            key, k_act = jax.random.split(key)
+            obs_h = obs_dict["obs_history"]
+            mean, std = ac.distribution(ts.params, obs_h, ac_args)
+            actions = ac.sample_actions(k_act, mean, std)
+            logp = ac.log_prob(mean, std, actions)
+            values = ac.evaluate(ts.params, obs_h, obs_dict["privileged_obs"],
+                                 ac_args)
+            world, next_obs, rew, done, info = env.step(world, actions)
+            # timeout bootstrapping (ppo.py:84-86)
+            rew_b = rew + args.gamma * values * info["time_outs"]
+            tr = Transition(
+                obs=obs_dict["obs"], privileged_obs=obs_dict["privileged_obs"],
+                obs_history=obs_h, actions=actions, rewards=rew_b,
+                dones=done, values=values, log_probs=logp, mu=mean, sigma=std)
+            metrics = (info["episode_sums_at_reset"], info["num_resets"],
+                       rew, info["mean_episode_length"])
+            return (key, world, next_obs), (tr, metrics)
+
+        key, k_roll = jax.random.split(ts.key)
+        (k_roll, world, obs_dict), (traj, metrics) = jax.lax.scan(
+            step_fn, (k_roll, world, obs_dict), None,
+            length=args.num_steps_per_env)
+        ts = ts.replace(key=key)
+        return ts, world, obs_dict, traj, metrics
+
+    def ppo_loss(params, batch, lr_unused):
+        obs_h, priv, actions, old_logp, old_mu, old_sigma, target_v, adv, ret = batch
+        mean, std = ac.distribution(params, obs_h, ac_args)
+        logp = ac.log_prob(mean, std, actions)
+        value = ac.evaluate(params, obs_h, priv, ac_args)
+        ent = ac.entropy(std)
+
+        ratio = jnp.exp(logp - old_logp)
+        surr = -adv * ratio
+        surr_clipped = -adv * jnp.clip(ratio, 1 - args.clip_param,
+                                       1 + args.clip_param)
+        surrogate_loss = jnp.maximum(surr, surr_clipped).mean()
+
+        if args.use_clipped_value_loss:
+            v_clipped = target_v + jnp.clip(value - target_v,
+                                            -args.clip_param, args.clip_param)
+            v_loss = jnp.maximum((value - ret) ** 2,
+                                 (v_clipped - ret) ** 2).mean()
+        else:
+            v_loss = ((ret - value) ** 2).mean()
+
+        loss = (surrogate_loss + args.value_loss_coef * v_loss
+                - args.entropy_coef * ent.mean())
+
+        # KL for adaptive LR (ppo.py:118-124)
+        kl = jnp.sum(
+            jnp.log(std / old_sigma + 1e-5)
+            + (old_sigma ** 2 + (old_mu - mean) ** 2) / (2 * std ** 2) - 0.5,
+            axis=-1).mean()
+        return loss, (surrogate_loss, v_loss, kl)
+
+    def adaptation_loss_fn(params, obs_h, priv):
+        pred = ac.adaptation_module(params, obs_h, ac_args)
+        B = pred.shape[0]
+        n_train = max(1, (B // 5) * 4)   # 80/20 split (ppo.py:163-183)
+        train_loss = jnp.mean((pred[:n_train] - priv[:n_train]) ** 2)
+        test_loss = (jnp.mean((pred[n_train:] - priv[n_train:]) ** 2)
+                     if n_train < B else train_loss)
+        return train_loss, test_loss
+
+    def update(ts: TrainState, traj, last_obs_dict):
+        T, N = traj.rewards.shape
+        last_values = ac.evaluate(ts.params, last_obs_dict["obs_history"],
+                                  last_obs_dict["privileged_obs"], ac_args)
+        advs, returns = compute_gae(traj.rewards, traj.dones, traj.values,
+                                    last_values, args.gamma, args.lam)
+
+        flat = lambda x: x.reshape((T * N,) + x.shape[2:])
+        data = (flat(traj.obs_history), flat(traj.privileged_obs),
+                flat(traj.actions), flat(traj.log_probs), flat(traj.mu),
+                flat(traj.sigma), flat(traj.values), flat(advs), flat(returns))
+
+        key, k_perm = jax.random.split(ts.key)
+        perm = jax.random.permutation(k_perm, T * N)
+        mb_size = T * N // args.num_mini_batches
+
+        def minibatch_step(carry, idx):
+            params, opt_state, adapt_opt_state, lr = carry
+            batch = tuple(d[idx] for d in data)
+            (loss, (surr, v_loss, kl)), grads = jax.value_and_grad(
+                ppo_loss, has_aux=True)(params, batch, lr)
+            grads = jax.tree.map(_pmean, grads)
+            kl = _pmean(kl)
+
+            # adaptive-KL LR schedule (ppo.py:126-132)
+            if args.desired_kl is not None and args.schedule == "adaptive":
+                lr = jnp.where(kl > args.desired_kl * 2.0,
+                               jnp.maximum(1e-5, lr / 1.5), lr)
+                lr = jnp.where((kl < args.desired_kl / 2.0) & (kl > 0.0),
+                               jnp.minimum(1e-2, lr * 1.5), lr)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+
+            # adaptation-module supervised substep (ppo.py:166-189)
+            a_losses = []
+            for _ in range(args.num_adaptation_module_substeps):
+                (a_loss, a_test), a_grads = jax.value_and_grad(
+                    adaptation_loss_fn, has_aux=True)(params, batch[0], batch[1])
+                a_grads = jax.tree.map(_pmean, a_grads)
+                a_updates, adapt_opt_state = adapt_tx.update(
+                    a_grads, adapt_opt_state, params)
+                params = optax.apply_updates(params, a_updates)
+                a_losses.append((a_loss, a_test))
+            a_loss = sum(l for l, _ in a_losses) / len(a_losses)
+            a_test = sum(t for _, t in a_losses) / len(a_losses)
+
+            return (params, opt_state, adapt_opt_state, lr), (
+                loss, surr, v_loss, kl, a_loss, a_test)
+
+        # one permutation reused across epochs (rollout_storage.py:100-139)
+        idxs = jnp.stack([perm[i * mb_size:(i + 1) * mb_size]
+                          for i in range(args.num_mini_batches)])
+        idxs = jnp.tile(idxs, (args.num_learning_epochs, 1))
+
+        (params, opt_state, adapt_opt_state, lr), aux = jax.lax.scan(
+            minibatch_step, (ts.params, ts.opt_state, ts.adapt_opt_state, ts.lr),
+            idxs)
+        loss, surr, v_loss, kl, a_loss, a_test = jax.tree.map(jnp.mean, aux)
+        ts = ts.replace(params=params, opt_state=opt_state,
+                        adapt_opt_state=adapt_opt_state, lr=lr, key=key,
+                        iteration=ts.iteration + 1)
+        stats = {"loss": loss, "surrogate_loss": surr, "value_loss": v_loss,
+                 "kl_mean": kl, "adaptation_loss": a_loss,
+                 "adaptation_test_loss": a_test, "lr": lr}
+        return ts, stats
+
+    def train_iteration(ts: TrainState, world, obs_dict):
+        ts, world, obs_dict, traj, metrics = rollout(ts, world, obs_dict)
+        ts, stats = update(ts, traj, obs_dict)
+        ep_sums, n_resets, rews, mean_ep_len = metrics
+        total_resets = _psum(jnp.sum(n_resets))
+        stats = {k: _pmean(v) for k, v in stats.items()}
+        stats.update({
+            # mean per-episode reward sums over episodes finished this iter,
+            # per term + total (the train/episode/rew_* metrics,
+            # ppo_cse/__init__.py:156-162)
+            "episode_reward_sums": _psum(jnp.sum(ep_sums, axis=0))
+            / jnp.maximum(total_resets, 1),
+            "num_episodes": total_resets,
+            "mean_step_reward": _pmean(jnp.mean(rews)),
+            "mean_episode_length": _pmean(mean_ep_len[-1]),
+        })
+        return ts, world, obs_dict, stats
+
+    return train_iteration

@@ -1,0 +1,162 @@
+"""Training driver.
+
+The host-side analog of go1_gym_learn/ppo_cse/__init__.py Runner:107-296 —
+but the entire iteration (rollout + GAE + PPO update + curriculum) is ONE
+jitted call; the host only logs, checkpoints, and paces. Checkpoints are
+exact-resume: params, optimizer state, env state arrays, RNG keys, and
+curriculum weights all serialize (impossible in the reference, where PhysX
+state is opaque — SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import csv
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ppo_cse
+from ..models import actor_critic as ac
+
+
+@dataclass
+class RunnerArgs:
+    # ppo_cse/__init__.py:43-59
+    save_video_interval: int = 0          # video: offline re-render (round 2)
+    log_freq: int = 10
+    save_interval: int = 400
+    run_dir: str = "runs/default"
+    resume: bool = False
+    resume_path: Optional[str] = None
+
+
+class Runner:
+    def __init__(self, env, args: ppo_cse.PPOArgs = ppo_cse.PPOArgs(),
+                 ac_args: ac.ACArgs = ac.ACArgs(),
+                 runner_args: RunnerArgs = RunnerArgs(),
+                 seed: int = 0):
+        self.env = env
+        self.args = args
+        self.ac_args = ac_args
+        self.runner_args = runner_args
+
+        key = jax.random.PRNGKey(seed)
+        k_env, k_train = jax.random.split(key)
+        self.world = env.init_state(k_env)
+        self.world, self.obs_dict = env.get_observations(self.world)
+        self.ts = ppo_cse.init_train_state(k_train, env, args, ac_args)
+        self._iteration_fn = jax.jit(
+            ppo_cse.make_train_fns(env, args, ac_args))
+
+        os.makedirs(runner_args.run_dir, exist_ok=True)
+        os.makedirs(os.path.join(runner_args.run_dir, "checkpoints"),
+                    exist_ok=True)
+        self._csv_path = os.path.join(runner_args.run_dir, "metrics.csv")
+        self._csv_keys = None
+        if runner_args.resume and runner_args.resume_path:
+            self.load(runner_args.resume_path)
+
+    # ------------------------------------------------------------------
+    def learn(self, num_learning_iterations: int, log_fn=print):
+        """ppo_cse/__init__.py:107-229 analog."""
+        ra = self.runner_args
+        t_start = time.time()
+        steps_per_iter = self.args.num_steps_per_env * self.env.num_envs
+        for it in range(num_learning_iterations):
+            t0 = time.time()
+            self.ts, self.world, self.obs_dict, stats = self._iteration_fn(
+                self.ts, self.world, self.obs_dict)
+            if (it % ra.log_freq == 0) or it == num_learning_iterations - 1:
+                stats = jax.device_get(stats)
+                dt_iter = time.time() - t0
+                row = {
+                    "iteration": it,
+                    "steps_per_s": steps_per_iter / dt_iter,
+                    "total_env_steps": (it + 1) * steps_per_iter,
+                    "wall_s": time.time() - t_start,
+                    "mean_step_reward": float(stats["mean_step_reward"]),
+                    "num_episodes": float(stats["num_episodes"]),
+                    "value_loss": float(stats["value_loss"]),
+                    "surrogate_loss": float(stats["surrogate_loss"]),
+                    "adaptation_loss": float(stats["adaptation_loss"]),
+                    "kl_mean": float(stats["kl_mean"]),
+                    "lr": float(stats["lr"]),
+                }
+                ep = np.asarray(stats["episode_reward_sums"])
+                for i, name in enumerate(self.env.reward_names):
+                    row[f"rew_{name}"] = float(ep[i])
+                row["rew_total"] = float(ep[-1])
+                self._write_csv(row)
+                log_fn(f"it {it:6d} | {row['steps_per_s']:.0f} steps/s | "
+                       f"rew {row['mean_step_reward']:.4f} | "
+                       f"ep_rew {row['rew_total']:.2f} | "
+                       f"vloss {row['value_loss']:.4f} | "
+                       f"adapt {row['adaptation_loss']:.5f}")
+            if ra.save_interval and it % ra.save_interval == 0 and it > 0:
+                self.save(it)
+        self.save("last")
+        return self
+
+    # ------------------------------------------------------------------
+    def _write_csv(self, row):
+        new = self._csv_keys is None
+        if new:
+            self._csv_keys = list(row.keys())
+        with open(self._csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._csv_keys,
+                               extrasaction="ignore")
+            if new:
+                w.writeheader()
+            w.writerow(row)
+
+    def save(self, tag):
+        """Exact-resume checkpoint + deployment export
+        (ppo_cse/__init__.py:231-274 analog)."""
+        path = os.path.join(self.runner_args.run_dir, "checkpoints",
+                            f"state_{tag}.pkl")
+        blob = {
+            "ts": jax.device_get(self.ts),
+            "world": jax.device_get(self.world),
+            "obs_dict": jax.device_get(self.obs_dict),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+        # deployment export: flat npz of policy weights (consumed by
+        # wtw_tpu/deploy; replaces the TorchScript .jit exports)
+        export = {}
+        p = jax.device_get(self.ts.params)
+        for net in ("adaptation", "actor"):
+            for i, lyr in enumerate(p[net]):
+                export[f"{net}/w{i}"] = np.asarray(lyr["w"])
+                export[f"{net}/b{i}"] = np.asarray(lyr["b"])
+        np.savez(os.path.join(self.runner_args.run_dir, "checkpoints",
+                              f"policy_{tag}.npz"), **export)
+        return path
+
+    def load(self, path):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        to_dev = lambda t: jax.tree.map(jnp.asarray, t)
+        self.ts = to_dev(blob["ts"])
+        self.world = to_dev(blob["world"])
+        self.obs_dict = to_dev(blob["obs_dict"])
+        return self
+
+    # ------------------------------------------------------------------
+    def get_inference_policy(self):
+        """Student policy fn(obs_history) -> actions
+        (ppo_cse/__init__.py:298 analog)."""
+        params = self.ts.params
+
+        @jax.jit
+        def policy(obs_history):
+            mean, _ = ac.act_student(params, obs_history, self.ac_args)
+            return mean
+
+        return policy

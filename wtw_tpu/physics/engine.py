@@ -163,6 +163,17 @@ def physics_step(model: RobotModel, hf: HeightField, params: EngineParams,
     external_accel: extra world-frame acceleration (gravity randomization,
       reference _randomize_gravity legged_robot.py:546-561).
     """
+    # TPU matmuls default to bf16 accumulation; the mass-matrix /
+    # inertia einsums need full f32 or the Cholesky goes NaN.
+    with jax.default_matmul_precision("highest"):
+        return _physics_step_f32(model, hf, params, state, joint_torque,
+                                 friction, restitution, payload_mass,
+                                 com_offset, external_accel)
+
+
+def _physics_step_f32(model, hf, params, state, joint_torque, friction,
+                      restitution, payload_mass=0.0, com_offset=None,
+                      external_accel=None):
     nj = model.nj
     nv = model.nv
     p_ref = state.base_pos
