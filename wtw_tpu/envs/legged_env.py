@@ -497,6 +497,21 @@ class LeggedEnv:
                                 env.phys.base_lin_vel)
             env = env.replace(phys=env.phys.replace(base_lin_vel=new_lin))
 
+        # edge wrap-around teleport (_teleport_robots, legged_robot.py:1028-1051)
+        if cfg.terrain.teleport_robots and cfg.terrain.mesh_type == "heightfield":
+            thresh = cfg.terrain.teleport_thresh
+            span_x = cfg.terrain.terrain_length * (cfg.terrain.num_rows - 1)
+            hi_x = cfg.terrain.terrain_length * cfg.terrain.num_rows
+            span_y = cfg.terrain.terrain_width * (cfg.terrain.num_cols - 1)
+            hi_y = cfg.terrain.terrain_width * cfg.terrain.num_cols
+            pos = env.phys.base_pos
+            x = pos[:, 0] + span_x * (pos[:, 0] < thresh) \
+                - span_x * (pos[:, 0] > hi_x - thresh)
+            y = pos[:, 1] + span_y * (pos[:, 1] < thresh) \
+                - span_y * (pos[:, 1] > hi_y - thresh)
+            env = env.replace(phys=env.phys.replace(
+                base_pos=jnp.stack([x, y, pos[:, 2]], axis=-1)))
+
         # periodic dof-property re-randomization (legged_robot.py:697-699)
         dr_mask = (env.episode_length % self.rand_interval) == 0
         kdr = jax.vmap(lambda k: jax.random.fold_in(k, 7))(env.rng)

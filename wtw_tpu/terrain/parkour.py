@@ -1,0 +1,137 @@
+"""Parkour terrain map builder (Stack B).
+
+Behavioral equivalent of tasks/terrainParkour.py:15-231 — procedural parkour
+tracks laid out as (numLevels rows of difficulty) × (numTerrains cols of
+type), with lava moats around every track, per-cell ceilings for the crawl
+tracks, and env origins at the START of each track (the robot runs along +x,
+terrain-level promotion at 0.8 × track length; go2_parkour.py:1158-1186).
+
+The reference's ceiling trimesh boxes (box_trimesh :385) become a second
+heightfield: `ceilings_grid[x, y]` = world-z of the lowest overhead obstacle
+underside (CEILING_OPEN where open sky). The physics engine applies a
+downward contact against it, and the env reads per-cell `ceilings` for
+observations/constraints (go2_parkour.py:1313-1316).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+from . import generators as G
+from .stack_a import TerrainMap
+
+CEILING_OPEN = 1e6   # "no ceiling" sentinel, metres
+
+
+@dataclass(frozen=True)
+class ParkourTerrainCfg:
+    # cfg/task/Go2Parkour.yaml env.terrain block
+    horizontal_scale: float = 0.05
+    border_size: float = 8.0
+    map_length: float = 12.0      # track length (x)
+    map_width: float = 4.0        # track width (y)
+    num_levels: int = 10          # difficulty rows
+    num_terrains: int = 20        # type columns
+    easy_mode: bool = False
+    curriculum: bool = True
+    min_init_map_level: int = 0
+    max_init_map_level: int = 0
+    # proportions dict in yaml order (Go2Parkour.yaml:46-52); cumulated over
+    # nonzero entries like the reference (terrainParkour.py:24-33)
+    proportions: Tuple[Tuple[str, float], ...] = (
+        ("gap_parkour", 0.2), ("jump_parkour", 0.2), ("stairs_parkour", 0.2),
+        ("hurdle_parkour", 0.2), ("crawl_parkour", 0.2),
+        ("random_uniform", 0.0), ("flat", 0.0))
+    default_ceiling: float = 0.4
+
+
+def build_parkour(cfg: ParkourTerrainCfg, seed: int = 0) -> TerrainMap:
+    rng = np.random.default_rng(seed)
+    s = cfg.horizontal_scale
+    L = int(cfg.map_length / s)
+    W = int(cfg.map_width / s)
+    border = int(cfg.border_size / s)
+    tot_x = cfg.num_levels * L + 2 * border
+    tot_y = cfg.num_terrains * W + 2 * border
+    heights = np.zeros((tot_x, tot_y), np.float32)
+    ceilings_grid = np.full((tot_x, tot_y), CEILING_OPEN, np.float32)
+    env_origins = np.zeros((cfg.num_levels, cfg.num_terrains, 3), np.float32)
+    cell_ceilings = np.full((cfg.num_levels, cfg.num_terrains),
+                            cfg.default_ceiling, np.float32)
+
+    keys, cum = [], []
+    total = 0.0
+    for k, v in cfg.proportions:
+        if v != 0.0:
+            total += float(v)
+            keys.append(k)
+            cum.append(round(total, 2))
+
+    for j in range(cfg.num_terrains):
+        for i in range(cfg.num_levels):
+            h = np.zeros((L, W), np.float32)
+            ceil = np.full((L, W), CEILING_OPEN, np.float32)
+            difficulty = i / max(cfg.num_levels - 1.0, 1.0)
+            choice = j / cfg.num_terrains
+            lava_depth = -float(rng.uniform(0.7, 1.3))
+            ceiling = cfg.default_ceiling
+
+            k = 0
+            while k < len(cum) and choice >= cum[k]:
+                k += 1
+            kind = keys[k] if k < len(keys) else "flat"
+
+            if kind == "gap_parkour":
+                gap_length = round(0.15 + i * 0.05, 2)   # terrainParkour.py:155
+                G.gap_parkour(h, rng, horizontal_scale=s,
+                              lava_depth=lava_depth, gap_length=gap_length,
+                              gap_platform_height=0.1)
+            elif kind == "jump_parkour":
+                height = (0.05 + 0.37 * difficulty if cfg.easy_mode
+                          else 0.05 + 0.45 * difficulty)
+                G.jump_parkour(h, rng, horizontal_scale=s,
+                               lava_depth=lava_depth, height=height)
+            elif kind == "stairs_parkour":
+                G.stairs_parkour(h, rng, horizontal_scale=s,
+                                 lava_depth=lava_depth,
+                                 height=0.02 + 0.18 * difficulty)
+            elif kind == "hurdle_parkour":
+                G.hurdle_parkour(h, rng, horizontal_scale=s,
+                                 lava_depth=lava_depth,
+                                 height=0.05 + 0.3 * difficulty)
+            elif kind == "crawl_parkour":
+                ceiling = 0.34 - 0.08 * difficulty   # terrainParkour.py:191
+                G.crawl_parkour(h, ceil, rng, horizontal_scale=s,
+                                lava_depth=lava_depth, height=ceiling)
+            elif kind == "random_uniform":
+                pass   # add_roughness is a no-op in the reference (:233-241)
+
+            x0, y0 = border + i * L, border + j * W
+            heights[x0:x0 + L, y0:y0 + W] = h
+            ceilings_grid[x0:x0 + L, y0:y0 + W] = ceil
+            # origin at track START (terrainParkour.py:226-229)
+            env_origins[i, j] = [i * cfg.map_length,
+                                 (j + 0.5) * cfg.map_width, 0.0]
+            cell_ceilings[i, j] = ceiling
+
+    return TerrainMap(
+        heights=heights, horizontal_scale=s,
+        origin=np.array([-cfg.border_size, -cfg.border_size], np.float32),
+        env_origins=env_origins, num_rows=cfg.num_levels,
+        num_cols=cfg.num_terrains, ceilings=cell_ceilings,
+        ceilings_grid=ceilings_grid)
+
+
+def assign_parkour_origins(tm: TerrainMap, num_envs: int,
+                           cfg: ParkourTerrainCfg, seed: int = 0):
+    """Initial per-env (level, type) (go2_parkour.py:404-431): random level
+    in [minInit, maxInit], type = env index striped over columns."""
+    rng = np.random.default_rng(seed + 1)
+    levels = rng.integers(cfg.min_init_map_level,
+                          cfg.max_init_map_level + 1, num_envs)
+    types = (np.arange(num_envs) //
+             (num_envs / cfg.num_terrains)).astype(int) % cfg.num_terrains
+    origins = tm.env_origins[levels, types]
+    return origins.astype(np.float32), levels.astype(np.int32), types.astype(np.int32)
