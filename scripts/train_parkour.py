@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Train a Go2 parkour/rough-terrain policy with Constraints-as-Terminations.
+
+The CLI analog of the reference's Hydra entry point
+(newtrain.py task=Go2Parkour train=SoloTerrainPPO):
+
+    python scripts/train_parkour.py --num-envs 4096 --iterations 8000
+    python scripts/train_parkour.py --terrain jump --easy-mode
+"""
+import argparse
+import csv
+import dataclasses
+import json
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TERRAIN_PRESETS = {
+    # mirrors the proportions blocks in cfg/task/Go2Parkour.yaml:38-52
+    "mixed": (("gap_parkour", 0.2), ("jump_parkour", 0.2),
+              ("stairs_parkour", 0.2), ("hurdle_parkour", 0.2),
+              ("crawl_parkour", 0.2), ("random_uniform", 0.0), ("flat", 0.0)),
+    "jump": (("gap_parkour", 0.0), ("jump_parkour", 1.0),
+             ("stairs_parkour", 0.0), ("hurdle_parkour", 0.0),
+             ("crawl_parkour", 0.0), ("random_uniform", 0.0), ("flat", 0.0)),
+    "gap": (("gap_parkour", 1.0), ("jump_parkour", 0.0),
+            ("stairs_parkour", 0.0), ("hurdle_parkour", 0.0),
+            ("crawl_parkour", 0.0), ("random_uniform", 0.0), ("flat", 0.0)),
+    "flat": (("gap_parkour", 0.0), ("jump_parkour", 0.0),
+             ("stairs_parkour", 0.0), ("hurdle_parkour", 0.0),
+             ("crawl_parkour", 0.0), ("random_uniform", 0.0), ("flat", 1.0)),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-envs", type=int, default=4096)
+    ap.add_argument("--iterations", type=int, default=8000)
+    ap.add_argument("--horizon", type=int, default=24)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--terrain", default="mixed", choices=TERRAIN_PRESETS)
+    ap.add_argument("--easy-mode", action="store_true")
+    ap.add_argument("--run-dir", default=None)
+    ap.add_argument("--log-freq", type=int, default=10)
+    ap.add_argument("--save-interval", type=int, default=400)
+    ap.add_argument("--resume", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wtw_tpu.envs.parkour_env import ParkourCfg, ParkourEnv
+    from wtw_tpu.learn.cat_ppo import (CatPPOArgs, init_train_state,
+                                       make_train_fn, rms_norm, rms_update)
+    from wtw_tpu.models import load_robot
+    from wtw_tpu.terrain import ParkourTerrainCfg
+
+    cfg = ParkourCfg(
+        num_envs=args.num_envs,
+        soft_p_total_steps=args.horizon * args.iterations,
+        terrain=ParkourTerrainCfg(
+            proportions=TERRAIN_PRESETS[args.terrain],
+            easy_mode=args.easy_mode))
+    env = ParkourEnv(cfg, load_robot(cfg.robot), seed=args.seed)
+    ppo = CatPPOArgs(num_steps=args.horizon, num_iterations=args.iterations)
+
+    run_dir = args.run_dir or f"runs/parkour_{args.terrain}/seed{args.seed}"
+    os.makedirs(run_dir, exist_ok=True)
+    print(f"parkour terrain={args.terrain} envs={args.num_envs} "
+          f"obs={env.num_obs} -> {run_dir}")
+
+    world = env.init_state(jax.random.PRNGKey(args.seed))
+    ts = init_train_state(jax.random.PRNGKey(args.seed + 1), env, ppo)
+    obs = env.get_observations(world)
+    ts = ts.replace(obs_rms=rms_update(ts.obs_rms, obs))
+    obs_n = rms_norm(ts.obs_rms, obs)
+    if args.resume:
+        with open(args.resume, "rb") as f:
+            blob = pickle.load(f)
+        to_dev = lambda t: jax.tree.map(jnp.asarray, t)
+        ts, world, obs_n = (to_dev(blob["ts"]), to_dev(blob["world"]),
+                            to_dev(blob["obs_n"]))
+
+    train = jax.jit(make_train_fn(env, ppo))
+    csv_path = os.path.join(run_dir, "metrics.csv")
+    csv_keys = None
+    steps_per_iter = ppo.num_steps * env.num_envs
+    t_start = time.time()
+    for it in range(args.iterations):
+        t0 = time.time()
+        ts, world, obs_n, stats = train(ts, world, obs_n)
+        if it % args.log_freq == 0 or it == args.iterations - 1:
+            stats = jax.device_get(stats)
+            row = {
+                "iteration": it,
+                "steps_per_s": steps_per_iter / (time.time() - t0),
+                "wall_s": time.time() - t_start,
+                "mean_step_reward": float(stats["mean_step_reward"]),
+                "terrain_level": float(stats["terrain_level_mean"]),
+                "mean_episode_length": float(stats["mean_episode_length"]),
+                "value_loss": float(stats["value_loss"]),
+                "pg_loss": float(stats["pg_loss"]),
+                "lr": float(stats["lr"]),
+            }
+            ep = np.asarray(stats["episode_sums"])
+            row["ep_rew_lin_vel"] = float(ep[0])
+            row["ep_rew_ang_vel"] = float(ep[1])
+            for i, name in enumerate(env.cstr_names):
+                row[f"cstr_{name}"] = float(ep[2 + i])
+            new = csv_keys is None
+            if new:
+                csv_keys = list(row.keys())
+            with open(csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=csv_keys, extrasaction="ignore")
+                if new:
+                    w.writeheader()
+                w.writerow(row)
+            print(f"it {it:5d} | {row['steps_per_s']:.0f} steps/s | "
+                  f"rew {row['mean_step_reward']:.3f} | "
+                  f"lvl {row['terrain_level']:.2f} | "
+                  f"eplen {row['mean_episode_length']:.1f}s | "
+                  f"vloss {row['value_loss']:.3f}")
+        if args.save_interval and it > 0 and it % args.save_interval == 0:
+            _save(run_dir, "last", ts, world, obs_n)
+    _save(run_dir, "last", ts, world, obs_n)
+
+
+def _save(run_dir, tag, ts, world, obs_n):
+    import jax
+    import pickle
+    path = os.path.join(run_dir, f"state_{tag}.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"ts": jax.device_get(ts), "world": jax.device_get(world),
+                     "obs_n": jax.device_get(obs_n)}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -152,6 +152,7 @@ def physics_step(model: RobotModel, hf: HeightField, params: EngineParams,
                  payload_mass: jnp.ndarray = 0.0,
                  com_offset: jnp.ndarray = None,
                  external_accel: jnp.ndarray = None,
+                 hf_ceiling: HeightField = None,
                  ) -> Tuple[PhysicsState, ContactInfo]:
     """One dt step of forward dynamics + semi-implicit Euler integration.
 
@@ -162,18 +163,23 @@ def physics_step(model: RobotModel, hf: HeightField, params: EngineParams,
       (reference _process_rigid_body_props legged_robot.py:667-673).
     external_accel: extra world-frame acceleration (gravity randomization,
       reference _randomize_gravity legged_robot.py:546-561).
+    hf_ceiling: optional overhead-obstacle heightfield (underside world-z,
+      +inf where open) — the TPU-native stand-in for the parkour crawl
+      barriers the reference adds as trimesh boxes
+      (tasks/terrainParkour.py:359-413). Spheres penetrating a ceiling from
+      below get a downward contact force.
     """
     # TPU matmuls default to bf16 accumulation; the mass-matrix /
     # inertia einsums need full f32 or the Cholesky goes NaN.
     with jax.default_matmul_precision("highest"):
         return _physics_step_f32(model, hf, params, state, joint_torque,
                                  friction, restitution, payload_mass,
-                                 com_offset, external_accel)
+                                 com_offset, external_accel, hf_ceiling)
 
 
 def _physics_step_f32(model, hf, params, state, joint_torque, friction,
                       restitution, payload_mass=0.0, com_offset=None,
-                      external_accel=None):
+                      external_accel=None, hf_ceiling=None):
     nj = model.nj
     nv = model.nv
     p_ref = state.base_pos
@@ -198,6 +204,21 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
     # ---- contact geometry ----
     c_pos, c_vel, c_n, c_depth = _contact_geometry(
         model, hf, body_pos, body_quat, V, p_ref)
+
+    sph_body, sph_label, sph_leg = model.sph_body, model.sph_label, model.sph_leg
+    if hf_ceiling is not None:
+        # ceiling contacts: sphere top penetrating the overhead obstacle's
+        # underside; normal points down. Same spheres, same velocities.
+        ceil_h = height_at(hf_ceiling, c_pos[:, :2])
+        depth_c = (c_pos[:, 2] + model.sph_radius) - ceil_h      # >0 in contact
+        n_c = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), c_n.shape)
+        c_pos = jnp.concatenate([c_pos, c_pos], axis=0)
+        c_vel = jnp.concatenate([c_vel, c_vel], axis=0)
+        c_n = jnp.concatenate([c_n, n_c], axis=0)
+        c_depth = jnp.concatenate([c_depth, depth_c], axis=0)
+        sph_body = jnp.concatenate([sph_body, sph_body])
+        sph_label = jnp.concatenate([sph_label, sph_label])
+        sph_leg = jnp.concatenate([sph_leg, sph_leg])
     active = (c_depth > 0.0).astype(jnp.float32)                 # (P,)
 
     # Per-point Jacobian (P, 3, nv): world velocity of the point per unit dof
@@ -206,7 +227,7 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
     r_p = c_pos - p_ref
     Jp = (S[None, :, 3:] +
           jnp.cross(S[None, :, :3], r_p[:, None, :]))            # (P, nv, 3)
-    Jp = Jp * model.anc[model.sph_body][:, :, None]
+    Jp = Jp * model.anc[sph_body][:, :, None]
     Jp = jnp.swapaxes(Jp, 1, 2)                                  # (P, 3, nv)
 
     # Implicit spring-damper contact (the TPU-native analog of PhysX-TGS's
@@ -294,8 +315,8 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
         joint_q=joint_q, joint_qd=qd_new)
 
     # ---- contact diagnostics (per label group) ----
-    is_foot = model.sph_label == 4
-    foot_onehot = (jnp.arange(4)[None, :] == model.sph_leg[:, None]) & is_foot[:, None]
+    is_foot = sph_label == 4
+    foot_onehot = (jnp.arange(4)[None, :] == sph_leg[:, None]) & is_foot[:, None]
     foot_forces = jnp.einsum("pl,pi->li", foot_onehot.astype(c_force.dtype), c_force)
 
     feet_R = quat_util.quat_to_matrix(body_quat[model.feet_body])
@@ -305,14 +326,14 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
     foot_velocities = Vf[:, 3:] + jnp.cross(Vf[:, :3], foot_positions - p_ref)
 
     def group_norm(label_idx):
-        mask = (model.sph_label == label_idx)
-        leg_onehot = (jnp.arange(4)[None, :] == model.sph_leg[:, None]) & mask[:, None]
+        mask = (sph_label == label_idx)
+        leg_onehot = (jnp.arange(4)[None, :] == sph_leg[:, None]) & mask[:, None]
         f = jnp.einsum("pl,pi->li", leg_onehot.astype(c_force.dtype), c_force)
         return jnp.linalg.norm(f, axis=-1)
 
     # trunk only — matches terminate_after_contacts_on=["base"] (go1_config.py:43);
     # hip contacts are neither penalized nor terminal in the reference.
-    base_mask = (model.sph_label == 0).astype(c_force.dtype)
+    base_mask = (sph_label == 0).astype(c_force.dtype)
     base_force = jnp.linalg.norm(jnp.einsum("p,pi->i", base_mask, c_force))
 
     info = ContactInfo(
