@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="go1_flat",
-                    choices=["go1_flat", "go1_mob"])
+                    choices=["go1_flat", "go1_mob", "go2_flat", "go2_mob",
+                             "b1_flat", "b1_mob", "mini_cheetah_flat"])
     ap.add_argument("--num-envs", type=int, default=None)
     ap.add_argument("--iterations", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
@@ -31,12 +32,11 @@ def main():
     args = ap.parse_args()
 
     from wtw_tpu import config as C
-    from wtw_tpu.envs import LeggedEnv
+    from wtw_tpu.envs import make_legged_env
     from wtw_tpu.learn import PPOArgs, Runner, RunnerArgs
     from wtw_tpu.models import load_robot
 
-    preset_fns = {"go1_flat": C.go1_flat_config, "go1_mob": C.go1_mob_config}
-    cfg = preset_fns[args.preset]()
+    cfg = C.PRESETS[args.preset]()
     if args.num_envs:
         cfg = dataclasses.replace(
             cfg, env=dataclasses.replace(cfg.env, num_envs=args.num_envs))
@@ -46,7 +46,7 @@ def main():
                                              control_type=args.control))
 
     robot = cfg.asset.robot
-    env = LeggedEnv(cfg, load_robot(robot))
+    env = make_legged_env(cfg, seed=args.seed)
     run_dir = args.run_dir or f"runs/{args.preset}/seed{args.seed}"
     runner = Runner(
         env,

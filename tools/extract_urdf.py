@@ -285,6 +285,29 @@ def extract(urdf_path, foot_name="foot"):
         jdamp.append(j["damping"]); jfric.append(j["friction"])
         jnames.append(j["name"])
 
+    # Synthetic feet for URDFs whose calf collision is a mesh the extractor
+    # can't sphere-ize (mini_cheetah: <collision><mesh .../> at the lower
+    # link, no separate foot link). Place a foot sphere at the calf tip —
+    # 2 × |inertial com z| below the knee (the lumped foot mass sits at the
+    # tip) — plus 2 calf spheres along the shank for knee-contact sensing.
+    if not any(s["label"] == "foot" for s in spheres):
+        for lname, link in links.items():
+            if classify(lname, foot_name) != "calf":
+                continue
+            bi, R, p = body_index_of(lname)
+            tip_z = -2.0 * abs(link.com[2]) if abs(link.com[2]) > 1e-6 else -0.2
+            foot_r = 0.015
+            tip = R @ np.array([0.0, 0.0, tip_z + foot_r]) + p
+            spheres.append(dict(body=int(bi), pos=[float(v) for v in tip],
+                                radius=foot_r, label="foot",
+                                leg=leg_of(lname), link=lname))
+            for frac in (0.35, 0.7):
+                mid = R @ np.array([0.0, 0.0, tip_z * frac]) + p
+                spheres.append(dict(body=int(bi), pos=[float(v) for v in mid],
+                                    radius=0.016, label="calf",
+                                    leg=leg_of(lname), link=lname))
+            sites[lname] = dict(body=int(bi), pos=[float(v) for v in tip])
+
     # order feet FR, FL, RR, RL to match URDF joint order convention
     foot_order = sorted(sites.keys(), key=lambda n: ["FR", "FL", "RR", "RL"].index(
         next(t for t in ("FR", "FL", "RR", "RL") if t in n)))

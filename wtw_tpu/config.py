@@ -432,6 +432,75 @@ def go1_flat_config(num_envs: int = 16) -> Cfg:
     )
 
 
+B1_DEFAULT_JOINT_ANGLES = (
+    # b1_gym/envs/b1/b1_config.py:29-42
+    ("FL_hip_joint", 0.2), ("RL_hip_joint", 0.2), ("FR_hip_joint", -0.2),
+    ("RR_hip_joint", -0.2), ("FL_thigh_joint", 0.8), ("RL_thigh_joint", 1.0),
+    ("FR_thigh_joint", 0.8), ("RR_thigh_joint", 1.0), ("FL_calf_joint", -1.5),
+    ("RL_calf_joint", -1.6), ("FR_calf_joint", -1.5), ("RR_calf_joint", -1.6),
+)
+
+
+def go2_flat_config(num_envs: int = 16) -> Cfg:
+    """Go2 flat-ground velocity tracking. Identical recipe to Go1
+    (go2_gym/envs/go2/go2_config.py differs from go1_config only in asset
+    path, head-contact terminations, and the actuator net)."""
+    cfg = go1_flat_config(num_envs)
+    return replace(cfg, asset=AssetCfg(robot="go2"))
+
+
+def go2_mob_config(num_envs: int = 4000) -> Cfg:
+    """Go2 gait-conditioned MoB (scripts/go2/train.py recipe)."""
+    cfg = go1_mob_config(num_envs)
+    return replace(cfg, asset=AssetCfg(robot="go2"))
+
+
+def b1_flat_config(num_envs: int = 16) -> Cfg:
+    """B1 velocity tracking — the heavy 50 kg quadruped. Scale constants
+    from b1_gym/envs/b1/b1_config.py: init z 0.8, kp 100 / kd 2.5,
+    base_height_target 0.55, torque penalty /8; terminal_body_height 0.55
+    and max_contact_force 300 from b1_gym legged_robot_config.py:287-290."""
+    cfg = go1_flat_config(num_envs)
+    return replace(
+        cfg,
+        asset=AssetCfg(robot="b1"),
+        init_state=InitStateCfg(pos=(0.0, 0.0, 0.8),
+                                default_joint_angles=B1_DEFAULT_JOINT_ANGLES),
+        control=replace(cfg.control, stiffness=100.0, damping=2.5),
+        rewards=replace(cfg.rewards, base_height_target=0.55,
+                        terminal_body_height=0.55, max_contact_force=300.0),
+        reward_scales=replace(cfg.reward_scales, torques=-0.0001 / 8),
+    )
+
+
+def b1_mob_config(num_envs: int = 4096) -> Cfg:
+    """B1 gait-conditioned MoB (scripts/b1/train.py recipe: the Go1 MoB
+    config with B1 scale constants; deploys via checkpoints/B1)."""
+    cfg = go1_mob_config(num_envs)
+    flat = b1_flat_config()
+    return replace(
+        cfg,
+        asset=AssetCfg(robot="b1"),
+        init_state=flat.init_state,
+        control=replace(cfg.control, control_type="P",
+                        stiffness=100.0, damping=2.5),
+        rewards=replace(cfg.rewards, base_height_target=0.55,
+                        terminal_body_height=0.55, max_contact_force=300.0),
+        reward_scales=replace(cfg.reward_scales, torques=-0.0001 / 8),
+    )
+
+
+def mini_cheetah_flat_config(num_envs: int = 16) -> Cfg:
+    """MIT mini-cheetah asset (resources/robots/mini_cheetah/urdf) with the
+    Go1 flat recipe — the reference ships the URDF with no config."""
+    cfg = go1_flat_config(num_envs)
+    return replace(cfg, asset=AssetCfg(robot="mini_cheetah"),
+                   init_state=replace(cfg.init_state, pos=(0.0, 0.0, 0.30)))
+
+
+PRESETS = {}  # name -> Cfg factory; filled below
+
+
 def go1_mob_config(num_envs: int = 4000) -> Cfg:
     """The flagship gait-conditioned MoB recipe (scripts/go1/train.py:21-205):
     15 commands, 70 obs, clock inputs, gait curricula, actuator net."""
@@ -449,3 +518,16 @@ def go1_mob_config(num_envs: int = 4000) -> Cfg:
         reward_scales=RewardScalesCfg(),
         normalization=NormalizationCfg(),
     )
+
+
+PRESETS.update({
+    # the analog of the reference's per-robot train scripts
+    # (scripts/{go1,go2,b1}/train.py)
+    "go1_flat": go1_flat_config,
+    "go1_mob": go1_mob_config,
+    "go2_flat": go2_flat_config,
+    "go2_mob": go2_mob_config,
+    "b1_flat": b1_flat_config,
+    "b1_mob": b1_mob_config,
+    "mini_cheetah_flat": mini_cheetah_flat_config,
+})
