@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--horizon", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--terrain", default="mixed", choices=TERRAIN_PRESETS)
+    ap.add_argument("--algo", default="ppo",
+                    choices=["ppo", "ppo_plus", "ppornn"],
+                    help="newtrain.py algo dispatch analog (:97-118)")
     ap.add_argument("--easy-mode", action="store_true")
     ap.add_argument("--run-dir", default=None)
     ap.add_argument("--log-freq", type=int, default=10)
@@ -66,15 +69,30 @@ def main():
             proportions=TERRAIN_PRESETS[args.terrain],
             easy_mode=args.easy_mode))
     env = ParkourEnv(cfg, load_robot(cfg.robot), seed=args.seed)
-    ppo = CatPPOArgs(num_steps=args.horizon, num_iterations=args.iterations)
+    if args.algo == "ppo_plus":
+        from wtw_tpu.learn import cat_ppo_plus as algo_mod
+        ppo = algo_mod.PPOPlusArgs(num_steps=args.horizon,
+                                   num_iterations=args.iterations)
+    elif args.algo == "ppornn":
+        from wtw_tpu.learn import cat_ppornn as algo_mod
+        ppo = algo_mod.RNNArgs(num_steps=args.horizon,
+                               num_iterations=args.iterations)
+    else:
+        algo_mod = None
+        ppo = CatPPOArgs(num_steps=args.horizon,
+                         num_iterations=args.iterations)
 
     run_dir = args.run_dir or f"runs/parkour_{args.terrain}/seed{args.seed}"
     os.makedirs(run_dir, exist_ok=True)
     print(f"parkour terrain={args.terrain} envs={args.num_envs} "
           f"obs={env.num_obs} -> {run_dir}")
 
+    init_fn = (algo_mod.init_train_state if algo_mod is not None
+               else init_train_state)
+    train_fn_factory = (algo_mod.make_train_fn if algo_mod is not None
+                        else make_train_fn)
     world = env.init_state(jax.random.PRNGKey(args.seed))
-    ts = init_train_state(jax.random.PRNGKey(args.seed + 1), env, ppo)
+    ts = init_fn(jax.random.PRNGKey(args.seed + 1), env, ppo)
     obs = env.get_observations(world)
     ts = ts.replace(obs_rms=rms_update(ts.obs_rms, obs))
     obs_n = rms_norm(ts.obs_rms, obs)
@@ -85,7 +103,7 @@ def main():
         ts, world, obs_n = (to_dev(blob["ts"]), to_dev(blob["world"]),
                             to_dev(blob["obs_n"]))
 
-    train = jax.jit(make_train_fn(env, ppo))
+    train = jax.jit(train_fn_factory(env, ppo))
     csv_path = os.path.join(run_dir, "metrics.csv")
     csv_keys = None
     steps_per_iter = ppo.num_steps * env.num_envs
@@ -100,17 +118,19 @@ def main():
                 "steps_per_s": steps_per_iter / (time.time() - t0),
                 "wall_s": time.time() - t_start,
                 "mean_step_reward": float(stats["mean_step_reward"]),
-                "terrain_level": float(stats["terrain_level_mean"]),
-                "mean_episode_length": float(stats["mean_episode_length"]),
+                "terrain_level": float(stats.get("terrain_level_mean", 0.0)),
+                "mean_episode_length": float(
+                    stats.get("mean_episode_length", 0.0)),
                 "value_loss": float(stats["value_loss"]),
                 "pg_loss": float(stats["pg_loss"]),
                 "lr": float(stats["lr"]),
             }
-            ep = np.asarray(stats["episode_sums"])
-            row["ep_rew_lin_vel"] = float(ep[0])
-            row["ep_rew_ang_vel"] = float(ep[1])
-            for i, name in enumerate(env.cstr_names):
-                row[f"cstr_{name}"] = float(ep[2 + i])
+            if "episode_sums" in stats:
+                ep = np.asarray(stats["episode_sums"])
+                row["ep_rew_lin_vel"] = float(ep[0])
+                row["ep_rew_ang_vel"] = float(ep[1])
+                for i, name in enumerate(env.cstr_names):
+                    row[f"cstr_{name}"] = float(ep[2 + i])
             new = csv_keys is None
             if new:
                 csv_keys = list(row.keys())
