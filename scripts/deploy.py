@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Deploy a trained policy on the real robot (or the C++ sim bridge).
+
+The analog of go1_gym_deploy/scripts/deploy_policy.py:1-74. The on-robot
+C++ bridge (cpp/lcm_position_bridge) must be running; for a dry run without
+hardware start it with --sim:
+
+    ./cpp/lcm_position_bridge --sim &
+    python scripts/deploy.py --policy runs/go1_mob/seed0/checkpoints/policy_last.npz
+
+Control flow: R2 to stand up, R2 again to stop (dead-man gating,
+deployment_runner.py:111-115).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--policy", required=True, help="policy_*.npz export")
+    ap.add_argument("--preset", default="go1_mob")
+    ap.add_argument("--addr", default="239.255.76.67")
+    ap.add_argument("--port", type=int, default=7667)
+    ap.add_argument("--max-vel", type=float, default=1.0)
+    ap.add_argument("--max-yaw-vel", type=float, default=1.0)
+    ap.add_argument("--no-wait", action="store_true",
+                    help="skip the R2 gate (sim bridge testing)")
+    args = ap.parse_args()
+
+    from wtw_tpu.config import PRESETS
+    from wtw_tpu.deploy import (LCM, DeployedPolicy, DeploymentRunner,
+                                LCMAgent, RCControllerProfile, StateEstimator)
+
+    cfg = PRESETS[args.preset]()
+    lc = LCM(addr=(args.addr, args.port))
+    se = StateEstimator(lc)
+    se.spin()
+    profile = RCControllerProfile(dt=cfg.control.decimation * cfg.sim.dt,
+                                  state_estimator=se,
+                                  x_scale=args.max_vel, y_scale=0.6,
+                                  yaw_scale=args.max_yaw_vel)
+    default_q = np.array([a for _, a in cfg.init_state.default_joint_angles])
+    agent = LCMAgent(cfg, lc, se, profile, default_joint_angles=default_q)
+    policy = DeployedPolicy(args.policy)
+    runner = DeploymentRunner(agent, policy, se,
+                              num_obs_history=cfg.env.num_observation_history)
+    if args.no_wait:
+        se.right_lower_right_switch_pressed = True
+    try:
+        runner.run()
+    finally:
+        se.close()
+
+
+if __name__ == "__main__":
+    main()

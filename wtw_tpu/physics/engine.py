@@ -30,11 +30,12 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..models.robot import RobotModel
 from ..utils import quat as quat_util
-from .heightfield import HeightField, height_at, normal_at
+from .heightfield import HeightField, height_and_normal_at, height_at
 from .state import ContactInfo, PhysicsState
 
 
@@ -62,27 +63,45 @@ def _basis6():
     return jnp.eye(6, dtype=jnp.float32)
 
 
+def _joint_levels(parent_static, nj):
+    """Group joints by kinematic-tree depth: all joints in a level have
+    already-computed parents, so each level is one vectorized update. A
+    quadruped is depth 3 (hips/thighs/calves) -> 3 sequential steps instead
+    of 12 (4x shorter dependency chain on the TPU VPU)."""
+    depth = [0] * (nj + 1)
+    levels = {}
+    for j in range(nj):
+        child = j + 1
+        d = depth[parent_static[child]] + 1
+        depth[child] = d
+        levels.setdefault(d, []).append(j)
+    return [np.asarray(levels[d], np.int32) for d in sorted(levels)]
+
+
 def fk(model: RobotModel, base_pos, base_quat, joint_q):
-    """Forward kinematics. Returns body_pos (nb,3) world, body_quat (nb,4),
-    plus per-joint world anchor (nj,3) and world axis (nj,3)."""
-    pos = [base_pos]
-    quat = [base_quat]
-    anchors = []
-    axes = []
-    for j in range(model.nj):
-        p = model.parent_static[j + 1]
-        qp = quat[p]
-        pp = pos[p]
-        q_frame = quat_util.quat_mul(qp, model.joint_quat[j])
-        anchor = pp + quat_util.quat_rotate(qp, model.joint_pos[j])
-        q_rot = quat_util.quat_from_angle_axis(joint_q[j], model.joint_axis[j])
+    """Forward kinematics, level-parallel over the kinematic tree.
+    Returns body_pos (nb,3) world, body_quat (nb,4), per-joint world anchor
+    (nj,3) and world axis (nj,3)."""
+    nb, nj = model.nb, model.nj
+    pos = jnp.zeros((nb, 3)).at[0].set(base_pos)
+    quat = jnp.zeros((nb, 4)).at[0].set(base_quat)
+    anchors = jnp.zeros((nj, 3))
+    axes = jnp.zeros((nj, 3))
+    parent = np.asarray(model.parent_static)
+    for jj in _joint_levels(model.parent_static, nj):
+        p = parent[jj + 1]                      # static parent indices
+        qp = quat[p]                            # (k, 4)
+        anchor = pos[p] + quat_util.quat_rotate(qp, model.joint_pos[jj])
+        q_frame = quat_util.quat_mul(qp, model.joint_quat[jj])
+        q_rot = quat_util.quat_from_angle_axis(joint_q[jj],
+                                               model.joint_axis[jj])
         q_body = quat_util.quat_mul(q_frame, q_rot)
-        axis_w = quat_util.quat_rotate(q_frame, model.joint_axis[j])
-        pos.append(anchor)
-        quat.append(q_body)
-        anchors.append(anchor)
-        axes.append(axis_w)
-    return (jnp.stack(pos), jnp.stack(quat), jnp.stack(anchors), jnp.stack(axes))
+        axis_w = quat_util.quat_rotate(q_frame, model.joint_axis[jj])
+        pos = pos.at[jj + 1].set(anchor)
+        quat = quat.at[jj + 1].set(q_body)
+        anchors = anchors.at[jj].set(anchor)
+        axes = axes.at[jj].set(axis_w)
+    return pos, quat, anchors, axes
 
 
 def _spatial_inertia(model: RobotModel, body_pos, body_quat, p_ref):
@@ -140,8 +159,7 @@ def _contact_geometry(model: RobotModel, hf: HeightField,
         "pij,pj->pi", R[model.sph_body], model.sph_pos)         # (P,3)
     Vb = V_body[model.sph_body]                                 # (P,6)
     vel = Vb[:, 3:] + jnp.cross(Vb[:, :3], xp - p_ref)          # (P,3)
-    h = height_at(hf, xp[:, :2])
-    n = normal_at(hf, xp[:, :2])
+    h, n = height_and_normal_at(hf, xp[:, :2])
     depth = h + model.sph_radius - xp[:, 2]                     # >0 in contact
     return xp, vel, n, depth
 
@@ -169,9 +187,14 @@ def physics_step(model: RobotModel, hf: HeightField, params: EngineParams,
       (tasks/terrainParkour.py:359-413). Spheres penetrating a ceiling from
       below get a downward contact force.
     """
-    # TPU matmuls default to bf16 accumulation; the mass-matrix /
-    # inertia einsums need full f32 or the Cholesky goes NaN.
-    with jax.default_matmul_precision("highest"):
+    # TPU matmuls default to single-pass bf16, which corrupts the mass
+    # matrix enough to NaN the Cholesky. 'tensorfloat32' (bf16_3x passes)
+    # restores f32-level accuracy (solve residual ~2.6e-6, identical to
+    # 'float32' on the 18x18 SPD systems here) at a small fraction of the
+    # cost: the full physics step is ~5x faster than with 'float32'
+    # ('highest'), which lowers every tiny einsum/Cholesky to slow 6-pass
+    # f32 MXU ops.
+    with jax.default_matmul_precision("tensorfloat32"):
         return _physics_step_f32(model, hf, params, state, joint_torque,
                                  friction, restitution, payload_mass,
                                  com_offset, external_accel, hf_ceiling)
@@ -253,12 +276,14 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
     g = params.gravity
     if external_accel is not None:
         g = g + external_accel
-    avp = [jnp.concatenate([jnp.zeros(3), -g])]                  # base vp-accel
-    for j in range(nj):
-        i = j + 1
-        p = model.parent_static[i]
-        avp.append(avp[p] + _cross_motion(V[i], S[6 + j] * state.joint_qd[j]))
-    avp = jnp.stack(avp)                                         # (nb,6)
+    avp = jnp.zeros((model.nb, 6)).at[0].set(
+        jnp.concatenate([jnp.zeros(3), -g]))                     # base vp-accel
+    parent_np = np.asarray(model.parent_static)
+    for jj in _joint_levels(model.parent_static, nj):            # level-parallel
+        child = jj + 1
+        contrib = _cross_motion(V[child],
+                                S[6 + jj] * state.joint_qd[jj][:, None])
+        avp = avp.at[child].set(avp[parent_np[child]] + contrib)
 
     f_bias = (jnp.einsum("bij,bj->bi", I_sp, avp)
               + _cross_force(V, jnp.einsum("bij,bj->bi", I_sp, V)))

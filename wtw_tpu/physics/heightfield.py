@@ -12,24 +12,50 @@ import jax.numpy as jnp
 from flax import struct
 
 
+from typing import Optional
+
+
 @struct.dataclass
 class HeightField:
     heights: jnp.ndarray          # (H, W) float32 meters
     horizontal_scale: jnp.ndarray  # () meters per cell
     origin: jnp.ndarray           # (2,) world xy of cell (0, 0)
+    # packed per-cell corner rows [h00, h10, h01, h11] (H*W, 4). One ROW
+    # gather per query point is ~4x faster on TPU than four scalar gathers
+    # (gather cost is per-offset, not per-element) — this query is the hot
+    # op of the engine. Built by make_heightfield; None falls back to
+    # scalar gathers.
+    corners: Optional[jnp.ndarray] = None
 
     @property
     def shape(self):
         return self.heights.shape
 
 
+def pack_corners(heights: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (H*W, 4) rows [h(i,j), h(i+1,j), h(i,j+1), h(i+1,j+1)]
+    with edge clamping."""
+    h = heights
+    h_r = jnp.concatenate([h[1:], h[-1:]], axis=0)        # i+1
+    h_c = jnp.concatenate([h[:, 1:], h[:, -1:]], axis=1)  # j+1
+    h_rc = jnp.concatenate([h_r[:, 1:], h_r[:, -1:]], axis=1)
+    return jnp.stack([h.reshape(-1), h_r.reshape(-1),
+                      h_c.reshape(-1), h_rc.reshape(-1)], axis=-1)
+
+
+def make_heightfield(heights, scale, origin) -> HeightField:
+    heights = jnp.asarray(heights, jnp.float32)
+    return HeightField(
+        heights=heights,
+        horizontal_scale=jnp.float32(scale),
+        origin=jnp.asarray(origin, jnp.float32),
+        corners=pack_corners(heights))
+
+
 def flat_heightfield(extent: float = 40.0, scale: float = 0.5) -> HeightField:
     n = int(extent / scale)
-    return HeightField(
-        heights=jnp.zeros((n, n), jnp.float32),
-        horizontal_scale=jnp.float32(scale),
-        origin=jnp.array([-extent / 2, -extent / 2], jnp.float32),
-    )
+    return make_heightfield(jnp.zeros((n, n), jnp.float32), scale,
+                            [-extent / 2, -extent / 2])
 
 
 def _cell_coords(hf: HeightField, xy: jnp.ndarray):
@@ -41,30 +67,50 @@ def _cell_coords(hf: HeightField, xy: jnp.ndarray):
     return u, v
 
 
-def height_at(hf: HeightField, xy: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear terrain height at world xy; xy: (..., 2) -> (...)."""
+def _corner_gather(hf: HeightField, xy: jnp.ndarray):
+    """4-corner bilinear support: ONE packed row gather per query point."""
     u, v = _cell_coords(hf, xy)
     u0 = jnp.floor(u).astype(jnp.int32)
     v0 = jnp.floor(v).astype(jnp.int32)
     du = u - u0
     dv = v - v0
-    h = hf.heights
-    h00 = h[u0, v0]
-    h10 = h[u0 + 1, v0]
-    h01 = h[u0, v0 + 1]
-    h11 = h[u0 + 1, v0 + 1]
+    W = hf.heights.shape[1]
+    base = u0 * W + v0
+    if hf.corners is not None:
+        hc = jnp.take(hf.corners, base, axis=0)          # (..., 4)
+    else:
+        idx = jnp.stack([base, base + W, base + 1, base + W + 1], axis=-1)
+        hc = jnp.take(hf.heights.reshape(-1), idx, axis=0)
+    return hc[..., 0], hc[..., 1], hc[..., 2], hc[..., 3], du, dv
+
+
+def height_at(hf: HeightField, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear terrain height at world xy; xy: (..., 2) -> (...)."""
+    h00, h10, h01, h11, du, dv = _corner_gather(hf, xy)
     return (h00 * (1 - du) * (1 - dv) + h10 * du * (1 - dv)
             + h01 * (1 - du) * dv + h11 * du * dv)
+
+
+def height_and_normal_at(hf: HeightField, xy: jnp.ndarray):
+    """Height AND unit normal from the SAME 4 corner gathers: the bilinear
+    patch has an analytic in-cell gradient, so no extra lookups
+    (replaces height_at + central-difference normal_at on the hot path)."""
+    h00, h10, h01, h11, du, dv = _corner_gather(hf, xy)
+    h = (h00 * (1 - du) * (1 - dv) + h10 * du * (1 - dv)
+         + h01 * (1 - du) * dv + h11 * du * dv)
+    s = hf.horizontal_scale
+    dhdx = ((h10 - h00) * (1 - dv) + (h11 - h01) * dv) / s
+    dhdy = ((h01 - h00) * (1 - du) + (h11 - h10) * du) / s
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return h, n
 
 
 def height_min3(hf: HeightField, xy: jnp.ndarray) -> jnp.ndarray:
     """min over the 3 nearest grid samples — exactly the reference's raycast
     semantics (legged_robot.py:1800-1804: min(h[px,py], h[px+1,py], h[px,py+1]))."""
-    u, v = _cell_coords(hf, xy)
-    u0 = jnp.floor(u).astype(jnp.int32)
-    v0 = jnp.floor(v).astype(jnp.int32)
-    h = hf.heights
-    return jnp.minimum(jnp.minimum(h[u0, v0], h[u0 + 1, v0]), h[u0, v0 + 1])
+    h00, h10, h01, _, _, _ = _corner_gather(hf, xy)
+    return jnp.minimum(jnp.minimum(h00, h10), h01)
 
 
 def normal_at(hf: HeightField, xy: jnp.ndarray) -> jnp.ndarray:

@@ -8,24 +8,18 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..physics.heightfield import HeightField
+from ..physics.heightfield import HeightField, make_heightfield
 from .parkour import CEILING_OPEN, ParkourTerrainCfg, assign_parkour_origins, build_parkour
 from .stack_a import TerrainMap, assign_env_origins, build_terrain
 
 
 def to_heightfield(tm: TerrainMap) -> HeightField:
-    return HeightField(
-        heights=jnp.asarray(tm.heights),
-        horizontal_scale=jnp.float32(tm.horizontal_scale),
-        origin=jnp.asarray(tm.origin, jnp.float32))
+    return make_heightfield(tm.heights, tm.horizontal_scale, tm.origin)
 
 
 def ceiling_heightfield(tm: TerrainMap) -> HeightField:
     assert tm.ceilings_grid is not None, "not a parkour terrain"
-    return HeightField(
-        heights=jnp.asarray(tm.ceilings_grid),
-        horizontal_scale=jnp.float32(tm.horizontal_scale),
-        origin=jnp.asarray(tm.origin, jnp.float32))
+    return make_heightfield(tm.ceilings_grid, tm.horizontal_scale, tm.origin)
 
 
 __all__ = [
