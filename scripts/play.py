@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Evaluate a trained checkpoint: command a trot and report metrics.
+
+The analog of scripts/{go1,go2,b1}/play.py:89-157 (load checkpoint, command
+1.5 m/s for 250 steps, report velocity tracking) + the eval_metrics DR
+sweeps:
+
+    python scripts/play.py --checkpoint runs/go1_flat/seed0/checkpoints/state_last.pkl
+    python scripts/play.py --checkpoint ... --sweep rand_large
+"""
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--preset", default="go1_flat")
+    ap.add_argument("--num-envs", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=250)
+    ap.add_argument("--vx", type=float, default=1.5)
+    ap.add_argument("--yaw", type=float, default=0.0)
+    ap.add_argument("--sweep", default=None,
+                    help="DR sweep preset (rand_regular, rand_large, ...)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wtw_tpu.config import PRESETS
+    from wtw_tpu.envs import make_legged_env
+    from wtw_tpu.learn.eval_metrics import DR_SWEEPS, base_set, evaluate_policy
+    from wtw_tpu.models import actor_critic as ac
+
+    cfg = PRESETS[args.preset](num_envs=args.num_envs)
+    if args.sweep:
+        cfg = DR_SWEEPS[args.sweep](base_set(cfg))
+    env = make_legged_env(cfg, seed=args.seed)
+
+    with open(args.checkpoint, "rb") as f:
+        blob = pickle.load(f)
+    params = jax.tree.map(jnp.asarray, blob["ts"].params)
+
+    def policy(obs_dict):
+        mean, _ = ac.act_student(params, obs_dict["obs_history"])
+        return mean
+
+    # command vector: vx, 0, yaw (+ gait defaults when 15-dim like
+    # play.py:101-117: 3 Hz trot, 0.25 body height ...)
+    nc = cfg.commands.num_commands
+    commands = np.zeros(nc, np.float32)
+    commands[0] = args.vx
+    if nc > 2:
+        commands[2] = args.yaw
+    if nc >= 15:
+        commands[4] = 3.0     # step frequency
+        commands[5] = 0.5     # trot phase
+        commands[8] = 0.5     # duration
+        commands[9] = 0.08    # footswing height
+        commands[12] = 0.25   # stance width
+
+    summary, traces = evaluate_policy(env, policy, steps=args.steps,
+                                      seed=args.seed, commands=commands)
+    summary["commanded_vx"] = args.vx
+    summary["sweep"] = args.sweep or "train-distribution"
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()

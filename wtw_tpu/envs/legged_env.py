@@ -209,8 +209,18 @@ class LeggedEnv:
         # init pose height from config
         self.base_init_pos = jnp.asarray(cfg.init_state.pos, jnp.float32)
 
-        # actuator net params (set by models.actuator_net.attach; None = PD)
+        # actuator net (legged_robot.py:1238-1253: torch.jit.load of
+        # resources/actuator_nets/unitree_<robot>.pt — here converted .npz
+        # weights, see tools/convert_actuator_net.py)
         self.actuator_params = None
+        if cfg.control.control_type == "actuator_net":
+            from ..models.actuator_net import load_actuator_net
+            try:
+                self.actuator_params = load_actuator_net(
+                    f"actuator_{model.name}")
+            except FileNotFoundError:
+                self.actuator_params = load_actuator_net(
+                    f"actuator_{cfg.asset.robot}")
 
     # ------------------------------------------------------------------
     # initial state

@@ -1,0 +1,204 @@
+"""Policy-quality evaluation: metric functions + canned DR sweeps.
+
+Re-design of go1_gym_learn/eval_metrics/{metrics,domain_randomization}.py:
+
+- METRICS_FNS: per-step (N,) metric arrays from (world, contact info,
+  commands): velocity-tracking RMSE, raw velocities, base height, max
+  torque, power, cost of transport, froude number (metrics.py:9-99);
+- DR sweep presets mutating a Cfg: rand_regular / rand_large /
+  static_{low,medium,high} / only_base_mass
+  (domain_randomization.py:4-148);
+- evaluate_policy: roll a policy and return per-metric means.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Cfg
+from ..utils import quat as quat_util
+
+G = 9.8
+
+
+def _base_vels(world):
+    phys = world.env.phys
+    blv = quat_util.quat_rotate_inverse(phys.base_quat, phys.base_lin_vel)
+    bav = quat_util.quat_rotate_inverse(phys.base_quat, phys.base_ang_vel)
+    return blv, bav
+
+
+def lin_vel_rmsd(world):
+    blv, _ = _base_vels(world)
+    return jnp.sqrt((blv[:, 0] - world.env.commands[:, 0]) ** 2)
+
+
+def ang_vel_rmsd(world):
+    _, bav = _base_vels(world)
+    return jnp.sqrt((bav[:, 2] - world.env.commands[:, 2]) ** 2)
+
+
+def lin_vel_x(world):
+    return _base_vels(world)[0][:, 0]
+
+
+def ang_vel_yaw(world):
+    return _base_vels(world)[1][:, 2]
+
+
+def base_height(world):
+    return world.env.phys.base_pos[:, 2]
+
+
+def max_torques(world):
+    return jnp.max(jnp.abs(world.env.torques), axis=1)
+
+
+def power_consumption(world):
+    return jnp.sum(world.env.torques * world.env.phys.joint_qd, axis=1)
+
+
+def make_cot(total_mass: float):
+    """Cost of transport P / (m g v) (metrics.py:40-48)."""
+
+    def CoT(world):
+        P = power_consumption(world)
+        blv, _ = _base_vels(world)
+        v = jnp.linalg.norm(blv[:, :2], axis=1)
+        m = total_mass + world.env.payload
+        return P / jnp.maximum(m * G * v, 1e-6)
+
+    return CoT
+
+
+def froude_number(world, h: float = 0.30):
+    v = lin_vel_x(world)
+    return v ** 2 / (G * h)
+
+
+METRICS_FNS: Dict[str, Callable] = {
+    "lin_vel_rmsd": lin_vel_rmsd, "ang_vel_rmsd": ang_vel_rmsd,
+    "lin_vel_x": lin_vel_x, "ang_vel_yaw": ang_vel_yaw,
+    "base_height": base_height, "max_torques": max_torques,
+    "power_consumption": power_consumption, "froude_number": froude_number,
+}
+
+
+# ----------------------------------------------------------------------
+# DR sweep presets (domain_randomization.py:16-148) as pure Cfg -> Cfg
+# ----------------------------------------------------------------------
+def _dr(cfg: Cfg, **kw) -> Cfg:
+    return dataclasses.replace(
+        cfg, domain_rand=dataclasses.replace(cfg.domain_rand, **kw))
+
+
+def base_set(cfg: Cfg) -> Cfg:
+    """Eval world setup (:4-14): huge episodes, frozen commands."""
+    return dataclasses.replace(
+        cfg,
+        commands=dataclasses.replace(cfg.commands, resampling_time=1e9,
+                                     command_curriculum=False),
+        env=dataclasses.replace(cfg.env, episode_length_s=500.0),
+        rewards=dataclasses.replace(cfg.rewards, terminal_body_height=0.0,
+                                    use_terminal_body_height=True))
+
+
+def rand_regular(cfg: Cfg) -> Cfg:
+    return _dr(cfg, randomize_friction=True, friction_range=(0.05, 4.5),
+               randomize_restitution=True, restitution_range=(0.0, 1.0),
+               randomize_base_mass=True, added_mass_range=(-1.0, 3.0),
+               randomize_com_displacement=True,
+               com_displacement_range=(-0.1, 0.1),
+               randomize_motor_strength=True,
+               motor_strength_range=(0.9, 1.1), push_robots=False)
+
+
+def rand_large(cfg: Cfg) -> Cfg:
+    return _dr(cfg, randomize_friction=True, friction_range=(0.04, 6.0),
+               randomize_restitution=True, restitution_range=(0.0, 1.0),
+               randomize_base_mass=True, added_mass_range=(-1.5, 4.0),
+               randomize_com_displacement=True,
+               com_displacement_range=(-0.13, 0.13),
+               randomize_motor_strength=True,
+               motor_strength_range=(0.88, 1.12), push_robots=False)
+
+
+def static_low(cfg: Cfg) -> Cfg:
+    return _dr(cfg, randomize_friction=True, friction_range=(0.05, 0.06),
+               randomize_restitution=False, randomize_base_mass=False,
+               randomize_com_displacement=False,
+               randomize_motor_strength=False, push_robots=False)
+
+
+def static_medium(cfg: Cfg) -> Cfg:
+    return _dr(cfg, randomize_friction=True, friction_range=(1.0, 1.01),
+               randomize_restitution=False, randomize_base_mass=False,
+               randomize_com_displacement=False,
+               randomize_motor_strength=False, push_robots=False)
+
+
+def static_high(cfg: Cfg) -> Cfg:
+    return _dr(cfg, randomize_friction=True, friction_range=(4.0, 4.01),
+               randomize_restitution=False, randomize_base_mass=False,
+               randomize_com_displacement=False,
+               randomize_motor_strength=False, push_robots=False)
+
+
+def only_base_mass(cfg: Cfg) -> Cfg:
+    return _dr(cfg, randomize_friction=False, randomize_restitution=False,
+               randomize_base_mass=True, added_mass_range=(-1.0, 3.0),
+               randomize_com_displacement=False,
+               randomize_motor_strength=False, push_robots=False)
+
+
+DR_SWEEPS = {
+    "rand_regular": rand_regular, "rand_large": rand_large,
+    "static_low": static_low, "static_medium": static_medium,
+    "static_high": static_high, "only_base_mass": only_base_mass,
+}
+
+
+# ----------------------------------------------------------------------
+def evaluate_policy(env, policy_fn, steps: int = 250, seed: int = 0,
+                    commands=None):
+    """Roll `policy_fn(obs_dict) -> actions` for `steps` and return
+    {metric: mean} (+ per-step traces). The analog of scripts/go1/play.py's
+    eval loop (:101-157)."""
+    key = jax.random.PRNGKey(seed)
+    world = env.init_state(key)
+    if commands is not None:
+        cmds = jnp.broadcast_to(jnp.asarray(commands),
+                                world.env.commands.shape)
+        world = world.replace(env=world.env.replace(commands=cmds))
+    world, obs = env.get_observations(world)
+    metrics = {name: [] for name in METRICS_FNS}
+    metrics["CoT"] = []
+    cot = make_cot(float(env.model.mass.sum()))
+
+    @jax.jit
+    def step(world, obs):
+        actions = policy_fn(obs)
+        world, obs, rew, done, info = env.step(world, actions)
+        if commands is not None:
+            w = world.replace(env=world.env.replace(commands=jnp.broadcast_to(
+                jnp.asarray(commands), world.env.commands.shape)))
+        else:
+            w = world
+        vals = {name: fn(w) for name, fn in METRICS_FNS.items()}
+        vals["CoT"] = cot(w)
+        return w, obs, rew, vals
+
+    rews = []
+    for _ in range(steps):
+        world, obs, rew, vals = step(world, obs)
+        rews.append(rew)
+        for name, v in vals.items():
+            metrics[name].append(v)
+
+    out = {name: float(jnp.mean(jnp.stack(v))) for name, v in metrics.items()}
+    out["mean_reward"] = float(jnp.mean(jnp.stack(rews)))
+    traces = {name: jnp.stack(v) for name, v in metrics.items()}
+    return out, traces
