@@ -42,9 +42,14 @@ def main():
     ap.add_argument("--horizon", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--terrain", default="mixed", choices=TERRAIN_PRESETS)
+    ap.add_argument("--task", default="parkour",
+                    choices=["parkour", "terrain"],
+                    help="Go2Parkour or Go2Terrain (rough terrain + gait "
+                         "clock + actuator net + full rewards)")
     ap.add_argument("--algo", default="ppo",
                     choices=["ppo", "ppo_plus", "ppornn"],
                     help="newtrain.py algo dispatch analog (:97-118)")
+    ap.add_argument("--reward-mode", default=None, choices=["cat", "full"])
     ap.add_argument("--easy-mode", action="store_true")
     ap.add_argument("--run-dir", default=None)
     ap.add_argument("--log-freq", type=int, default=10)
@@ -62,12 +67,20 @@ def main():
     from wtw_tpu.models import load_robot
     from wtw_tpu.terrain import ParkourTerrainCfg
 
+    extra = {}
+    if args.task == "terrain":
+        # Go2Terrain defaults (cfg/task/Go2Terrain.yaml): gait clock on,
+        # actuator net on, CaT with tracking reward by default
+        extra = dict(task="terrain", use_gait_clocks=True,
+                     observe_clock_inputs=True, use_actuator_net=True)
+    if args.reward_mode:
+        extra["reward_mode"] = args.reward_mode
     cfg = ParkourCfg(
         num_envs=args.num_envs,
         soft_p_total_steps=args.horizon * args.iterations,
         terrain=ParkourTerrainCfg(
             proportions=TERRAIN_PRESETS[args.terrain],
-            easy_mode=args.easy_mode))
+            easy_mode=args.easy_mode), **extra)
     env = ParkourEnv(cfg, load_robot(cfg.robot), seed=args.seed)
     if args.algo == "ppo_plus":
         from wtw_tpu.learn import cat_ppo_plus as algo_mod

@@ -168,3 +168,61 @@ def test_cat_ppo_smoke_train(parkour_env):
     assert bool(jnp.isfinite(stats["loss"]))
     assert bool(jnp.isfinite(stats["mean_step_reward"]))
     assert float(stats["lr"]) < args.learning_rate   # annealing active
+
+
+# ----------------------------------------------------------------------
+# Go2Terrain task (tasks/go2_terrain.py analog)
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def terrain_env():
+    from wtw_tpu.config import TerrainCfg
+    cfg = ParkourCfg(
+        num_envs=4, task="terrain", use_gait_clocks=True,
+        observe_clock_inputs=True, use_actuator_net=True,
+        reward_mode="full",
+        rough_terrain=TerrainCfg(
+            curriculum=True, num_rows=3, num_cols=3, border_size=4.0,
+            center_robots=False, max_init_terrain_level=0,
+            terrain_proportions=(0.2, 0.2, 0.2, 0.2, 0.2, 0, 0, 0, 0)))
+    return ParkourEnv(cfg, load_robot("go2"), seed=0)
+
+
+def test_terrain_task_obs_has_clock_inputs(terrain_env):
+    # 189 parkour layout + 4 clock inputs
+    assert terrain_env.sample_obs_size == 193
+    assert terrain_env.actuator_params is not None
+
+
+def test_terrain_task_steps_with_full_rewards(terrain_env):
+    env = terrain_env
+    world = env.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(3):
+        world, obs, rew, done, info = step(world, jnp.zeros((4, 12)))
+    assert bool(jnp.isfinite(obs).all()) and bool(jnp.isfinite(rew).all())
+    assert float(rew.min()) >= 0.0          # full battery is clipped at 0
+    # trot clock: diagonal pairs in phase, alternating sign
+    clock = np.asarray(world.env.clock_inputs[0])
+    assert clock[0] == pytest.approx(clock[3], abs=1e-5)
+    assert clock[1] == pytest.approx(clock[2], abs=1e-5)
+    assert np.sign(clock[0]) != np.sign(clock[1])
+
+
+def test_raibert_error_zero_at_nominal(terrain_env):
+    """Raibert error is small when feet sit at nominal stance positions
+    under zero commands and phase 0.25 (phases term = 0)."""
+    env = terrain_env
+    world = env.init_state(jax.random.PRNGKey(0))
+    e = world.env
+    N = 4
+    # nominal body-frame footsteps: x ±0.225, y ±0.125
+    feet = jnp.tile(jnp.array([[0.225, 0.125, 0.0], [0.225, -0.125, 0.0],
+                               [-0.225, 0.125, 0.0], [-0.225, -0.125, 0.0]]),
+                    (N, 1, 1))
+    base = e.phys.base_pos
+    cinfo = type("C", (), {})()
+    cinfo.foot_positions = feet + base[:, None, :]
+    e = e.replace(commands=jnp.zeros((N, 3)),
+                  foot_indices=jnp.full((N, 4), 0.25))
+    err = env._raibert_error(e, cinfo)
+    assert float(jnp.abs(err).max()) < 1e-5

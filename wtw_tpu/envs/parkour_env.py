@@ -66,11 +66,47 @@ class ParkourLimits:
 
 
 @dataclass(frozen=True)
+class TerrainRewardScales:
+    """Full reward battery for the rough-terrain task when CaT is off
+    (tasks/go2_terrain.py:43-74 / compute_reward :1024-1090). Values from
+    cfg/task/Go2Terrain.yaml."""
+    termination: float = 0.0
+    lin_vel_xy: float = 1.0
+    ang_vel_z: float = 0.5
+    lin_vel_z: float = -4.0
+    ang_vel_xy: float = -0.05
+    orient: float = -1.0
+    base_height: float = 0.0
+    torque: float = -0.00002
+    joint_acc: float = -0.0005
+    air_time: float = 1.0
+    collision: float = -0.25
+    stumble: float = -2.0
+    action_rate: float = -0.01
+    dof_pos: float = -0.1
+    dof_vel_limit: float = -0.1
+    hip: float = -0.1
+    raibert: float = -10.0
+    foot2contact: float = 0.0
+    stand_still: float = 0.0
+
+
+@dataclass(frozen=True)
 class ParkourCfg:
-    # cfg/task/Go2Parkour.yaml
+    # cfg/task/Go2Parkour.yaml; with task='terrain' this becomes the
+    # Go2Terrain rough-terrain task (tasks/go2_terrain.py + Go2Terrain.yaml)
     robot: str = "go2"
+    task: str = "parkour"            # 'parkour' | 'terrain'
     num_envs: int = 4096
     num_actions: int = 12
+    # terrain-task extras (tasks/go2_terrain.py)
+    use_gait_clocks: bool = False    # fixed 3 Hz trot clock (:582-611)
+    observe_clock_inputs: bool = False
+    use_actuator_net: bool = False   # unitree_go2 net (:177-203)
+    reward_mode: str = "cat"         # 'cat' | 'full'
+    terrain_rewards: "TerrainRewardScales" = dataclasses.field(
+        default_factory=TerrainRewardScales)
+    rough_terrain: object = None     # TerrainCfg for task='terrain'
     num_history_samples: int = 1      # numHistorySamples
     num_history_step: int = 1         # numHistoryStep (0 in yaml == 1 in effect)
     episode_length_s: float = 25.0
@@ -168,7 +204,18 @@ class ParkourEnvState:
     commands: jnp.ndarray            # (3,) world-frame vx, vy, wz
     actions: jnp.ndarray
     last_actions: jnp.ndarray
+    last_last_actions: jnp.ndarray   # terrain action_rate 2nd diff (:1058)
+    last_joint_qd: jnp.ndarray       # joint_acc reward (:1047)
     torques: jnp.ndarray
+    # gait clock (terrain task, go2_terrain.py:582-611)
+    gait_index: jnp.ndarray
+    clock_inputs: jnp.ndarray        # (4,)
+    foot_indices: jnp.ndarray        # (4,)
+    # actuator-net joint-state history (go2_terrain.py:1480-1490)
+    joint_pos_err_last: jnp.ndarray
+    joint_pos_err_last_last: jnp.ndarray
+    joint_vel_last: jnp.ndarray
+    joint_vel_last_last: jnp.ndarray
     # per-episode DR draws
     friction: jnp.ndarray
     motor_Fs: jnp.ndarray            # (nj,) stiction torque
@@ -225,17 +272,37 @@ class ParkourEnv:
         self.dt = cfg.policy_dt
         self.max_episode_length = cfg.max_episode_length
 
-        tm = build_parkour(cfg.terrain, seed=seed)
+        if cfg.task == "terrain":
+            # rough-terrain task: stack-A style slope/stair/obstacle grid
+            # (tasks/terrain.py) — no ceilings, no lava
+            from ..terrain import assign_env_origins, build_terrain
+            from ..config import TerrainCfg
+            tcfg = cfg.rough_terrain or TerrainCfg(
+                curriculum=True, num_rows=10, num_cols=20,
+                border_size=8.0, center_robots=False,
+                max_init_terrain_level=0,
+                terrain_proportions=(0.2, 0.2, 0.2, 0.2, 0.2, 0, 0, 0, 0))
+            tm = build_terrain(tcfg, seed=seed)
+            origins, levels, types = assign_env_origins(
+                tm, cfg.num_envs, tcfg, seed=seed)
+            self.hf_ceiling = None
+            self.terrain_ceilings = jnp.full(
+                (tm.num_rows, tm.num_cols), cfg.terrain.default_ceiling)
+            self.track_length = tcfg.terrain_length
+            self.num_terrain_levels = tm.num_rows
+        else:
+            tm = build_parkour(cfg.terrain, seed=seed)
+            self.hf_ceiling = ceiling_heightfield(tm)
+            origins, levels, types = assign_parkour_origins(
+                tm, cfg.num_envs, cfg.terrain, seed=seed)
+            self.terrain_ceilings = jnp.asarray(tm.ceilings)  # (lvl, type)
+            self.track_length = cfg.terrain.map_length
+            self.num_terrain_levels = cfg.terrain.num_levels
         self.hf = to_heightfield(tm)
-        self.hf_ceiling = ceiling_heightfield(tm)
-        origins, levels, types = assign_parkour_origins(
-            tm, cfg.num_envs, cfg.terrain, seed=seed)
         self.init_origins = jnp.asarray(origins)
         self.init_levels = jnp.asarray(levels)
         self.init_types = jnp.asarray(types)
         self.terrain_origins = jnp.asarray(tm.env_origins)   # (lvl, type, 3)
-        self.terrain_ceilings = jnp.asarray(tm.ceilings)     # (lvl, type)
-        self.track_length = cfg.terrain.map_length
 
         self.engine_params = EngineParams(
             dt=jnp.float32(cfg.dt),
@@ -254,6 +321,12 @@ class ParkourEnv:
             np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], -1),
             jnp.float32)
         self.num_height_points = gx.size
+
+        # optional learned actuator model (go2_terrain.py:177-203)
+        self.actuator_params = None
+        if cfg.use_actuator_net:
+            from ..models.actuator_net import load_actuator_net
+            self.actuator_params = load_actuator_net(f"actuator_{cfg.robot}")
 
         self.cstr = CaTManager(_constraint_decls(model.nj),
                                tau=cfg.cat_tau, min_p=cfg.cat_min_p,
@@ -288,6 +361,8 @@ class ParkourEnv:
             n += 8
         if cfg.observe_imu:
             n += 3
+        if cfg.observe_clock_inputs:
+            n += 4
         return n
 
     def _noise_vec(self) -> np.ndarray:
@@ -316,6 +391,8 @@ class ParkourEnv:
             parts.append(np.zeros(8))
         if cfg.observe_imu:
             parts.append(np.zeros(3))
+        if cfg.observe_clock_inputs:
+            parts.append(np.zeros(4))
         return np.concatenate(parts).astype(np.float32) * cfg.noise_level
 
     # ------------------------------------------------------------------
@@ -331,7 +408,13 @@ class ParkourEnv:
             return ParkourEnvState(
                 phys=phys, rng=k, progress=jnp.int32(0),
                 commands=self._sample_commands(k2),
-                actions=zero_j, last_actions=zero_j, torques=zero_j,
+                actions=zero_j, last_actions=zero_j,
+                last_last_actions=zero_j, last_joint_qd=zero_j,
+                torques=zero_j,
+                gait_index=jnp.float32(0.0), clock_inputs=jnp.zeros(4),
+                foot_indices=jnp.zeros(4),
+                joint_pos_err_last=zero_j, joint_pos_err_last_last=zero_j,
+                joint_vel_last=zero_j, joint_vel_last_last=zero_j,
                 **self._sample_dr(k3),
                 feet_swing_time=jnp.zeros(4), feet_swing_apex=jnp.zeros(4),
                 feet_clearance=jnp.zeros(4),
@@ -424,18 +507,29 @@ class ParkourEnv:
         nj = model.nj
         N = self.num_envs
 
-        # ---- decimation loop: PD + motor friction (pre_physics_step) ----
+        # ---- decimation loop: PD or actuator net + motor friction ----
         def env_step(s: ParkourEnvState, action):
             k_next = jax.random.fold_in(s.rng, 3)
 
             def substep(carry, _):
                 s_in = carry
                 q, qd = s_in.phys.joint_q, s_in.phys.joint_qd
-                tau = jnp.clip(
-                    cfg.stiffness * (cfg.action_scale * action
-                                     + self.default_joint_q - q)
-                    - cfg.damping * qd,
-                    -cfg.torque_clip, cfg.torque_clip)
+                target = cfg.action_scale * action + self.default_joint_q
+                if cfg.use_actuator_net:
+                    from ..models.actuator_net import apply_actuator_net
+                    pos_err = q - target
+                    tau = apply_actuator_net(
+                        self.actuator_params, pos_err, s_in.joint_pos_err_last,
+                        s_in.joint_pos_err_last_last, qd, s_in.joint_vel_last,
+                        s_in.joint_vel_last_last)
+                    hist = dict(joint_pos_err_last=pos_err,
+                                joint_pos_err_last_last=s_in.joint_pos_err_last,
+                                joint_vel_last=qd,
+                                joint_vel_last_last=s_in.joint_vel_last)
+                else:
+                    tau = cfg.stiffness * (target - q) - cfg.damping * qd
+                    hist = {}
+                tau = jnp.clip(tau, -cfg.torque_clip, cfg.torque_clip)
                 # stiction + viscous motor friction (:1242-1245)
                 tau = tau - (s_in.motor_Fs * jnp.tanh(qd / 0.1)
                              + s_in.motor_mu_v * qd)
@@ -443,7 +537,7 @@ class ParkourEnv:
                     model, self.hf, self.engine_params, s_in.phys, tau,
                     s_in.friction, jnp.float32(0.0),
                     hf_ceiling=self.hf_ceiling)
-                return s_in.replace(phys=phys, torques=tau), cinfo
+                return s_in.replace(phys=phys, torques=tau, **hist), cinfo
 
             s2, cinfos = jax.lax.scan(
                 substep, s.replace(actions=action), None,
@@ -479,6 +573,18 @@ class ParkourEnv:
             env = env.replace(phys=phys.replace(base_lin_vel=new_lin,
                                                 base_ang_vel=new_ang))
             phys = env.phys
+
+        # ---- fixed-trot gait clock (terrain task, go2_terrain.py:582-611) ----
+        if cfg.use_gait_clocks:
+            from . import gait as gait_mod
+            pseudo_cmd = jnp.broadcast_to(
+                jnp.array([0, 0, 0, 0, 3.0, 0.5, 0.0, 0.0, 0.5,
+                           0, 0, 0, 0, 0, 0], jnp.float32), (N, 15))
+            g_idx, f_idx, clock, _, _, _ = jax.vmap(
+                lambda gi, c: gait_mod.step_gait(gi, c, self.dt, 0.07))(
+                env.gait_index, pseudo_cmd)
+            env = env.replace(gait_index=g_idx, foot_indices=f_idx,
+                              clock_inputs=clock)
 
         # ---- heights / ceilings / flat-terrain flags (:1308-1322) ----
         measured_heights = self._measured_heights(phys.base_pos, phys.base_quat)
@@ -610,14 +716,22 @@ class ParkourEnv:
         hard_done = (timed_out | (cstr_upsidedown > 0) | (cstr_lava > 0)
                      | term_contacts | hard_base_height)
 
-        # ---- reward (compute_reward :833-847) ----
+        # ---- reward ----
         robot_cmd = self._robot_command(phys.base_quat, env.commands)
         lin_err = jnp.sum(
             jnp.square(robot_cmd[:, :2] - base_lin_vel[:, :2]), axis=1)
         ang_err = jnp.square(env.commands[:, 2] - base_ang_vel[:, 2])
         rew_lin = jnp.exp(-lin_err / cfg.lin_vel_delta) * cfg.lin_vel_xy_scale
         rew_ang = jnp.exp(-ang_err / cfg.ang_vel_delta) * cfg.ang_vel_z_scale
-        rew = jnp.clip(rew_lin, min=0.0)   # ang term logged but unused (:841)
+        if cfg.reward_mode == "full":
+            # full battery for the rough-terrain task without CaT
+            # (go2_terrain.py compute_reward :1024-1090)
+            rs = cfg.terrain_rewards
+            rew = self._full_rewards(
+                env, cinfo, base_lin_vel, base_ang_vel, projected_gravity,
+                contacts_touchdown, feet_swing_time, rew_lin, rew_ang, rs)
+        else:
+            rew = jnp.clip(rew_lin, min=0.0)  # CaT: tracking only (:841-845)
 
         viol_vec = jnp.stack([viol[n] for n in self.cstr_names])
         episode_sums = env.episode_sums + jnp.concatenate(
@@ -678,7 +792,9 @@ class ParkourEnv:
                for i in range(self.cfg.num_history_samples)]
         obs = jnp.concatenate([hist[:, ix] for ix in idx], axis=-1)
 
-        env = env.replace(last_actions=env.actions)
+        env = env.replace(last_last_actions=env.last_actions,
+                          last_actions=env.actions,
+                          last_joint_qd=env.phys.joint_qd)
         world = ParkourWorld(env=env, cat=cat_state,
                              soft_p_progress=soft_p_progress,
                              hist_obs=hist, common_step=common_step)
@@ -696,6 +812,77 @@ class ParkourEnv:
         return world, obs, rew, done_prob, info
 
     # ------------------------------------------------------------------
+    def _full_rewards(self, env, cinfo, blv, bav, pg, contacts_touchdown,
+                      feet_swing_time, rew_lin, rew_ang, rs):
+        """Rough-terrain reward battery (go2_terrain.py:1024-1090),
+        including the raibert heuristic (:612-646). Returns (N,) clipped
+        total."""
+        cfg = self.cfg
+        phys = env.phys
+        q, qd = phys.joint_q, phys.joint_qd
+        diff_qd = qd                                       # sim qd is clean
+        rew = rew_lin + rew_ang
+        rew += jnp.square(blv[:, 2]) * rs.lin_vel_z
+        rew += jnp.sum(jnp.square(bav[:, :2]), -1) * rs.ang_vel_xy
+        rew += jnp.sum(jnp.square(pg[:, :2]), -1) * rs.orient
+        rew += jnp.square(phys.base_pos[:, 2]
+                          - cfg.base_height_target) * rs.base_height
+        rew += jnp.sum(jnp.square(env.torques), -1) * rs.torque
+        rew += jnp.sum(jnp.square(diff_qd - env.last_joint_qd), -1) \
+            * rs.joint_acc
+        knee_contact = cinfo.calf_contact > 1.0
+        rew += jnp.sum(knee_contact, -1) * rs.collision
+        stumble = ((jnp.linalg.norm(cinfo.foot_forces[..., :2], axis=-1) > 5.0)
+                   & (jnp.abs(cinfo.foot_forces[..., 2]) < 1.0))
+        rew += jnp.sum(stumble, -1) * rs.stumble
+        rew += jnp.sum(
+            jnp.square(env.actions - env.last_actions)
+            + jnp.square(env.actions - 2 * env.last_actions
+                         + env.last_last_actions), -1) \
+            * (cfg.action_scale ** 2) * rs.action_rate
+        rew += jnp.sum(jnp.square(q - self.default_joint_q[None, :]), -1) \
+            * rs.dof_pos
+        air = jnp.sum((feet_swing_time - 0.25)
+                      * contacts_touchdown.astype(jnp.float32), -1) \
+            * rs.air_time
+        rew += air * (jnp.linalg.norm(env.commands, axis=1)
+                      > cfg.vel_deadzone)
+        rew += jnp.sum(jnp.clip(jnp.abs(diff_qd) - 12.0, 0.0, 1.0), -1) \
+            * rs.dof_vel_limit
+        haa_ix = jnp.array([0, 3, 6, 9])
+        rew += jnp.sum(jnp.abs(q[:, haa_ix]
+                               - self.default_joint_q[haa_ix]), -1) * rs.hip
+        if rs.raibert != 0.0:
+            rew += self._raibert_error(env, cinfo) * rs.raibert
+        return jnp.clip(rew, min=0.0)
+
+    def _raibert_error(self, env, cinfo):
+        """Raibert footstep-placement error (go2_terrain.py:612-646):
+        squared distance of body-frame footsteps from gait-phase-advanced
+        nominal stance positions."""
+        phys = env.phys
+        rel = cinfo.foot_positions - phys.base_pos[:, None, :]    # (N,4,3)
+        inv_yaw = quat_util.quat_conjugate(
+            quat_util.yaw_quat(phys.base_quat))
+        feet_body = jax.vmap(
+            lambda qv, r: quat_util.quat_rotate(
+                jnp.broadcast_to(qv, (4, 4)), r))(inv_yaw, rel)
+        ys_nom = jnp.array([0.125, -0.125, 0.125, -0.125])
+        xs_nom = jnp.array([0.225, 0.225, -0.225, -0.225])
+        phases = jnp.abs(1.0 - env.foot_indices * 2.0) - 0.5      # (N,4)
+        freq = 3.0
+        x_vel = env.commands[:, 0:1]
+        y_vel = env.commands[:, 2:3] * 0.45 / 2
+        ys_off = phases * y_vel * (0.5 / freq)
+        ys_off = ys_off.at[:, 2:4].multiply(-1.0)
+        xs_off = phases * x_vel * (0.5 / freq)
+        des_x = xs_nom[None, :] + xs_off
+        des_y = ys_nom[None, :] + ys_off
+        err = (jnp.square(des_x - feet_body[..., 0])
+               + jnp.square(des_y - feet_body[..., 1]))
+        return jnp.sum(err, axis=1)
+
+    # ------------------------------------------------------------------
     def _update_terrain_level(self, env: ParkourEnvState, mask):
         """update_terrain_level (:1158-1186)."""
         dist = jnp.linalg.norm(
@@ -705,8 +892,8 @@ class ParkourEnv:
         lvl = env.terrain_level + 1 * move_up - 1 * move_down
         k = jax.vmap(lambda kk: jax.random.fold_in(kk, 29))(env.rng)
         rand_lvl = jax.vmap(lambda kk: jax.random.randint(
-            kk, (), 0, self.cfg.terrain.num_levels))(k)
-        lvl = jnp.where(lvl >= self.cfg.terrain.num_levels, rand_lvl,
+            kk, (), 0, self.num_terrain_levels))(k)
+        lvl = jnp.where(lvl >= self.num_terrain_levels, rand_lvl,
                         jnp.clip(lvl, 0, None))
         # 1% teleport back to level 0 when not moving up (:1180)
         back = jax.vmap(lambda kk: jax.random.bernoulli(
@@ -739,6 +926,14 @@ class ParkourEnv:
             commands=mwhere(mask, new_cmd, env.commands),
             actions=mwhere(mask, zero_j, env.actions),
             last_actions=mwhere(mask, zero_j, env.last_actions),
+            last_last_actions=mwhere(mask, zero_j, env.last_last_actions),
+            last_joint_qd=mwhere(mask, zero_j, env.last_joint_qd),
+            gait_index=jnp.where(mask, 0.0, env.gait_index),
+            joint_pos_err_last=mwhere(mask, zero_j, env.joint_pos_err_last),
+            joint_pos_err_last_last=mwhere(mask, zero_j,
+                                           env.joint_pos_err_last_last),
+            joint_vel_last=mwhere(mask, zero_j, env.joint_vel_last),
+            joint_vel_last_last=mwhere(mask, zero_j, env.joint_vel_last_last),
             friction=jnp.where(mask, new_dr["friction"], env.friction),
             motor_Fs=mwhere(mask, new_dr["motor_Fs"], env.motor_Fs),
             motor_mu_v=mwhere(mask, new_dr["motor_mu_v"], env.motor_mu_v),
@@ -823,6 +1018,8 @@ class ParkourEnv:
             blocks.append(jnp.concatenate([jnp.cos(ph), jnp.sin(ph)], -1))
         if cfg.observe_imu:
             blocks.append(jnp.zeros((self.num_envs, 3)))
+        if cfg.observe_clock_inputs:
+            blocks.append(env.clock_inputs)
         obs = jnp.concatenate(blocks, axis=-1)
         if cfg.add_noise:
             kn = jax.vmap(lambda k: jax.random.fold_in(k, 23))(env.rng)
