@@ -34,6 +34,12 @@ class RunnerArgs:
     run_dir: str = "runs/default"
     resume: bool = False
     resume_path: Optional[str] = None
+    # jax.profiler trace of iterations [profile_start, profile_start+
+    # profile_iters) into <run_dir>/profile (SURVEY.md §5.1; the reference
+    # has no profiling hooks)
+    profile_start: int = -1
+    profile_iters: int = 3
+    console_table_freq: int = 0           # texttable-style monitor
 
 
 class Runner:
@@ -70,8 +76,16 @@ class Runner:
         steps_per_iter = self.args.num_steps_per_env * self.env.num_envs
         for it in range(num_learning_iterations):
             t0 = time.time()
+            if it == ra.profile_start:
+                jax.profiler.start_trace(
+                    os.path.join(ra.run_dir, "profile"))
             self.ts, self.world, self.obs_dict, stats = self._iteration_fn(
                 self.ts, self.world, self.obs_dict)
+            if ra.profile_start >= 0 and \
+                    it == ra.profile_start + ra.profile_iters - 1:
+                jax.block_until_ready(stats["loss"])
+                jax.profiler.stop_trace()
+                log_fn(f"profiler trace -> {ra.run_dir}/profile")
             if (it % ra.log_freq == 0) or it == num_learning_iterations - 1:
                 stats = jax.device_get(stats)
                 dt_iter = time.time() - t0
@@ -98,6 +112,11 @@ class Runner:
                        f"ep_rew {row['rew_total']:.2f} | "
                        f"vloss {row['value_loss']:.4f} | "
                        f"adapt {row['adaptation_loss']:.5f}")
+                if ra.console_table_freq and it % ra.console_table_freq == 0:
+                    from ..utils.monitor import monitor_table
+                    log_fn(monitor_table(
+                        {k: v for k, v in row.items()
+                         if k.startswith("rew_")}, title=f"iter {it}"))
             if ra.save_interval and it % ra.save_interval == 0 and it > 0:
                 self.save(it)
         self.save("last")
