@@ -112,14 +112,29 @@ def geom_to_spheres(tag, attrib, xyz, R):
         r = float(attrib["radius"])
         pts.append((xyz, r))
     elif tag == "box":
-        sx, sy, sz = (float(v) for v in attrib["size"].split())
-        r = 0.25 * min(sx, sy, sz)
-        hx, hy, hz = sx / 2 - r, sy / 2 - r, sz / 2 - r
-        for ix in (-1, 1):
-            for iy in (-1, 1):
-                for iz in (-1, 1):
-                    local = np.array([ix * hx, iy * hy, iz * hz])
-                    pts.append((xyz + R @ local, r))
+        size = np.array([float(v) for v in attrib["size"].split()])
+        order = np.argsort(size)
+        if (size[order[2]] > 1.5 * size[order[1]]
+                and size[order[1]] < 1.6 * size[order[0]]):
+            # elongated box (thigh/calf links): capsule-style sphere chain
+            # along the long axis — 3 spheres instead of 8 corners. Contact
+            # sensing is equivalent and the sphere count drives the cost of
+            # the whole contact solve (P x 3 x nv Jacobians per env).
+            r = 0.5 * size[order[1]]
+            axis = np.zeros(3)
+            axis[order[2]] = 1.0
+            h = size[order[2]] / 2 - r
+            for s in (-1.0, 0.0, 1.0):
+                pts.append((xyz + R @ (axis * h * s), r))
+        else:
+            sx, sy, sz = size
+            r = 0.25 * min(sx, sy, sz)
+            hx, hy, hz = sx / 2 - r, sy / 2 - r, sz / 2 - r
+            for ix in (-1, 1):
+                for iy in (-1, 1):
+                    for iz in (-1, 1):
+                        local = np.array([ix * hx, iy * hy, iz * hz])
+                        pts.append((xyz + R @ local, r))
     elif tag == "cylinder":
         r = float(attrib["radius"])
         h = float(attrib["length"]) / 2

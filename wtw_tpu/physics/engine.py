@@ -36,6 +36,7 @@ from flax import struct
 from ..models.robot import RobotModel
 from ..utils import quat as quat_util
 from .heightfield import HeightField, height_and_normal_at, height_at
+from .linalg import cholesky_solve
 from .state import ContactInfo, PhysicsState
 
 
@@ -244,14 +245,15 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
         sph_leg = jnp.concatenate([sph_leg, sph_leg])
     active = (c_depth > 0.0).astype(jnp.float32)                 # (P,)
 
-    # Per-point Jacobian (P, 3, nv): world velocity of the point per unit dof
-    # velocity. Linear part of S at point p = S_lin + S_ang × (p - p_ref),
-    # masked by the point's body ancestry.
+    # Per-point Jacobian kept as (P, nv, 3) — NO transpose: the profiler
+    # showed the (P, 3, nv) layout costing two full-tensor copies per step
+    # (T(4,128) relayouts); all contractions below are written against the
+    # natural layout instead. Linear part of S at point p = S_lin +
+    # S_ang × (p - p_ref), masked by the point's body ancestry.
     r_p = c_pos - p_ref
     Jp = (S[None, :, 3:] +
           jnp.cross(S[None, :, :3], r_p[:, None, :]))            # (P, nv, 3)
     Jp = Jp * model.anc[sph_body][:, :, None]
-    Jp = jnp.swapaxes(Jp, 1, 2)                                  # (P, 3, nv)
 
     # Implicit spring-damper contact (the TPU-native analog of PhysX-TGS's
     # implicit solve): the elastic force k·depth·n goes on the rhs; the
@@ -299,21 +301,19 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
     tau = jnp.concatenate([jnp.zeros(6), joint_torque])
 
     A = (M + params.dt * jnp.diag(D)
-         + params.dt * jnp.einsum("pai,pab,pbj->ij", Jp, Cmat, Jp))
+         + params.dt * jnp.einsum("pia,pab,pjb->ij", Jp, Cmat, Jp))
     rhs = (M @ u + params.dt * (tau - C)
-           + params.dt * jnp.einsum("pai,pa->i", Jp, f_n0[:, None] * c_n))
+           + params.dt * jnp.einsum("pia,pa->i", Jp, f_n0[:, None] * c_n))
     if model.fixed_base:
         # asset.fix_base_link equivalent (legged_robot_config.py:228):
         # solve the joint subsystem with zero base motion.
-        Lj = jax.scipy.linalg.cho_factor(A[6:, 6:], lower=True)
         u_new = jnp.concatenate(
-            [jnp.zeros(6), jax.scipy.linalg.cho_solve(Lj, rhs[6:])])
+            [jnp.zeros(6), cholesky_solve(A[6:, 6:], rhs[6:])])
     else:
-        L = jax.scipy.linalg.cho_factor(A, lower=True)
-        u_new = jax.scipy.linalg.cho_solve(L, rhs)
+        u_new = cholesky_solve(A, rhs)
 
     # realized contact force (diagnostics): elastic + implicit damping at v'
-    c_vel_new = jnp.einsum("pij,j->pi", Jp, u_new)
+    c_vel_new = jnp.einsum("pia,i->pa", Jp, u_new)
     vn_new = jnp.einsum("pi,pi->p", c_vel_new, c_n)
     vt_new = c_vel_new - c_n * vn_new[:, None]
     c_force = (c_n * (f_n0 - active * c_n_imp * vn_new)[:, None]
