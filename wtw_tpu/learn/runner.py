@@ -119,6 +119,9 @@ class Runner:
                          if k.startswith("rew_")}, title=f"iter {it}"))
             if ra.save_interval and it % ra.save_interval == 0 and it > 0:
                 self.save(it)
+            if ra.save_video_interval and it % ra.save_video_interval == 0 \
+                    and it > 0:
+                self.record_video(tag=it)
         self.save("last")
         return self
 
@@ -166,6 +169,20 @@ class Runner:
         self.world = to_dev(blob["world"])
         self.obs_dict = to_dev(blob["obs_dict"])
         return self
+
+    # ------------------------------------------------------------------
+    def record_video(self, tag="last", steps: int = 250):
+        """Record + offline-render a rollout of the current policy
+        (the analog of the reference's camera mp4s every
+        save_video_interval; legged_robot.py:1611-1673,
+        ppo_cse/__init__.py:277-296)."""
+        from ..utils.video import record_rollout, render_trajectory
+        policy = self.get_inference_policy()
+        traj = record_rollout(
+            self.env, lambda obs: policy(obs["obs_history"]), steps=steps)
+        path = os.path.join(self.runner_args.run_dir, f"video_{tag}.mp4")
+        return render_trajectory(traj, self.env.model, hf=self.env.hf,
+                                 path=path)
 
     # ------------------------------------------------------------------
     def get_inference_policy(self):
