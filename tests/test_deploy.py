@@ -175,3 +175,32 @@ def test_hil_cpp_bridge_tracks_targets(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=5)
+
+
+def test_camera_message_fragmentation():
+    """>64 KB camera messages must fragment (LC03) and reassemble."""
+    import os as _os
+    from wtw_tpu.deploy.lcm_types import camera_message_lcmt
+    lc = LCM(addr=("239.255.76.67", 18765))
+    got = []
+    lc.subscribe("camera_image_front", lambda ch, d: got.append(d))
+    img = _os.urandom(camera_message_lcmt.SIZE)
+    lc.publish("camera_image_front", camera_message_lcmt(data=img).encode())
+    deadline = time.time() + 3.0
+    while not got and time.time() < deadline:
+        lc.handle_once(0.1)
+    lc.stop()
+    assert got
+    assert camera_message_lcmt.decode(got[0]).data == img
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_LCM_TYPES),
+                    reason="reference bindings not mounted")
+def test_camera_fingerprints_match():
+    sys.path.insert(0, REF_LCM_TYPES)
+    import importlib
+    for name in ["camera_message_lcmt", "camera_message_rect_wide"]:
+        ref = getattr(importlib.import_module(name), name)
+        ref_hash = struct.unpack(">q", ref._get_packed_fingerprint())[0]
+        import wtw_tpu.deploy.lcm_types as T
+        assert getattr(T, name).type_hash() == ref_hash, name

@@ -73,3 +73,41 @@ class rc_command_lcmt(LCMStruct):
         ("right_lower_left_switch", "int16_t", []),
         ("right_lower_right_switch", "int16_t", []),
     ]
+
+
+class _RawBytesStruct:
+    """Fixed-size raw byte payload messages (the reference's camera streams,
+    go1_gym_deploy/lcm_types/camera_message_*.py). Fingerprints verified
+    against the generated bindings."""
+
+    SIZE = 0
+
+    def __init__(self, data: bytes = b""):
+        self.data = data
+
+    @classmethod
+    def type_hash(cls) -> int:
+        from .lcm_wire import compute_hash
+        return compute_hash([("data", "byte", [cls.SIZE])])
+
+    def encode(self) -> bytes:
+        import struct as _s
+        payload = bytes(self.data[:self.SIZE])
+        payload += b"\x00" * (self.SIZE - len(payload))
+        return _s.pack(">q", self.type_hash()) + payload
+
+    @classmethod
+    def decode(cls, data: bytes):
+        import struct as _s
+        (h,) = _s.unpack_from(">q", data, 0)
+        if h != cls.type_hash():
+            raise ValueError(f"{cls.__name__}: hash mismatch")
+        return cls(data=data[8:8 + cls.SIZE])
+
+
+class camera_message_rect_wide(_RawBytesStruct):
+    SIZE = 34800       # 116x100x3 rectified wide image
+
+
+class camera_message_lcmt(_RawBytesStruct):
+    SIZE = 278400      # 290x320x3 raw camera image

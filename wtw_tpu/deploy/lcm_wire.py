@@ -24,6 +24,9 @@ import threading
 from typing import Callable, Dict, Optional
 
 MAGIC_SHORT = 0x4C433032
+MAGIC_FRAG = 0x4C433033          # "LC03": fragmented messages (>~60 KB,
+                                 # e.g. the camera image streams)
+FRAG_SIZE = 60000
 DEFAULT_URL = ("239.255.76.67", 7667)
 
 _MASK = (1 << 64) - 1
@@ -153,6 +156,10 @@ class LCM:
                                     socket.IP_MULTICAST_LOOP, 1)
         self._rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._rx.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        # large kernel buffers like real LCM (fragmented camera images
+        # burst several 60 KB datagrams back-to-back)
+        self._rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
+        self._tx.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 1 << 20)
         self._rx.bind(("" if self._is_multicast else addr[0], addr[1]))
         if self._is_multicast:
             mreq = socket.inet_aton(addr[0]) + socket.inet_aton("0.0.0.0")
@@ -161,12 +168,30 @@ class LCM:
         self._rx.settimeout(0.05)
         self._running = False
         self._thread: Optional[threading.Thread] = None
+        self._frags: Dict[int, tuple] = {}
+        self._frag_channel: Dict[int, str] = {}
 
     def publish(self, channel: str, data: bytes):
-        pkt = struct.pack(">II", MAGIC_SHORT, self._seq) \
-            + channel.encode() + b"\x00" + data
+        if len(data) <= FRAG_SIZE:
+            pkt = struct.pack(">II", MAGIC_SHORT, self._seq) \
+                + channel.encode() + b"\x00" + data
+            self._seq = (self._seq + 1) & 0xFFFFFFFF
+            self._tx.sendto(pkt, self.addr)
+            return
+        # fragmented message (LCM "LC03" framing): header = magic, msg_seq,
+        # total size, fragment offset, fragment number, fragment count;
+        # channel string only in fragment 0.
+        n_frags = (len(data) + FRAG_SIZE - 1) // FRAG_SIZE
+        seq = self._seq
         self._seq = (self._seq + 1) & 0xFFFFFFFF
-        self._tx.sendto(pkt, self.addr)
+        for i in range(n_frags):
+            off = i * FRAG_SIZE
+            chunk = data[off:off + FRAG_SIZE]
+            hdr = struct.pack(">IIIIHH", MAGIC_FRAG, seq, len(data), off,
+                              i, n_frags)
+            if i == 0:
+                hdr += channel.encode() + b"\x00"
+            self._tx.sendto(hdr + chunk, self.addr)
 
     def subscribe(self, channel: str, handler: Callable[[str, bytes], None]):
         self._subs[channel] = handler
@@ -180,15 +205,35 @@ class LCM:
             return False
         if len(pkt) < 9:
             return False
-        magic, _seq = struct.unpack_from(">II", pkt, 0)
-        if magic != MAGIC_SHORT:
-            return False
-        nul = pkt.index(b"\x00", 8)
-        channel = pkt[8:nul].decode()
-        handler = self._subs.get(channel)
-        if handler is not None:
-            handler(channel, pkt[nul + 1:])
-        return True
+        magic, seq = struct.unpack_from(">II", pkt, 0)
+        if magic == MAGIC_SHORT:
+            nul = pkt.index(b"\x00", 8)
+            channel = pkt[8:nul].decode()
+            handler = self._subs.get(channel)
+            if handler is not None:
+                handler(channel, pkt[nul + 1:])
+            return True
+        if magic == MAGIC_FRAG:
+            _, seq, total, off, frag_no, n_frags = struct.unpack_from(
+                ">IIIIHH", pkt, 0)
+            body_off = struct.calcsize(">IIIIHH")
+            if frag_no == 0:
+                nul = pkt.index(b"\x00", body_off)
+                channel = pkt[body_off:nul].decode()
+                body_off = nul + 1
+                self._frag_channel[seq] = channel
+            buf, got = self._frags.setdefault(
+                seq, (bytearray(total), set()))
+            buf[off:off + len(pkt) - body_off] = pkt[body_off:]
+            got.add(frag_no)
+            if len(got) == n_frags and seq in self._frag_channel:
+                channel = self._frag_channel.pop(seq)
+                data = bytes(self._frags.pop(seq)[0])
+                handler = self._subs.get(channel)
+                if handler is not None:
+                    handler(channel, data)
+            return True
+        return False
 
     def spin(self):
         """Background dispatch thread (the analog of StateEstimator.spin,

@@ -104,6 +104,7 @@ class ParkourCfg:
     observe_clock_inputs: bool = False
     use_actuator_net: bool = False   # unitree_go2 net (:177-203)
     reward_mode: str = "cat"         # 'cat' | 'full'
+    provide_true_next_obs: bool = False  # go2_terrain.py:734 (off-policy)
     terrain_rewards: "TerrainRewardScales" = dataclasses.field(
         default_factory=TerrainRewardScales)
     rough_terrain: object = None     # TerrainCfg for task='terrain'
@@ -746,6 +747,16 @@ class ParkourEnv:
             feet_clearance=feet_clearance, episode_sums=episode_sums,
             timed_out=timed_out)
 
+        # ---- true next observation BEFORE resets, for off-policy
+        # bootstrapping (compute_true_next_observations,
+        # go2_terrain.py:734-756) ----
+        if cfg.provide_true_next_obs:
+            true_next_obs = self._build_obs(
+                env, base_lin_vel, base_ang_vel, projected_gravity,
+                measured_heights, ceilings, cinfo)
+        else:
+            true_next_obs = None
+
         # ---- episode metrics at reset ----
         ep_sums_at_reset = jnp.sum(
             jnp.where(hard_done[:, None], episode_sums, 0.0), axis=0)
@@ -809,6 +820,8 @@ class ParkourEnv:
             "num_resets": n_reset,
             "soft_p": soft_p,
         }
+        if true_next_obs is not None:
+            info["true_next_obs"] = true_next_obs
         return world, obs, rew, done_prob, info
 
     # ------------------------------------------------------------------
