@@ -212,10 +212,13 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
     body_pos, body_quat, anchors, axes_w = fk(
         model, state.base_pos, state.base_quat, state.joint_q)
     S = _dof_subspace(model, state.base_pos, anchors, axes_w)    # (nv,6)
-    J = model.anc[:, None, :] * S.T[None, :, :]                  # (nb,6,nv)
-
+    # J[b] = anc[b] ⊙ S never gets materialized: J[b,k,i] = anc[b,i]·S[i,k],
+    # so every J contraction factors through the STATIC ancestor mask —
+    # V = S^T(anc ⊙ u), C = Σ_b anc_b ⊙ (S f_b), M = Σ_b ancouter_b ⊙
+    # (S I_b S^T). This removes the (nb, 6, nv) per-env tensors that
+    # dominated the profile (fusion.46 + relayout copies).
     u = jnp.concatenate([state.base_ang_vel, state.base_lin_vel, state.joint_qd])
-    V = jnp.einsum("bij,j->bi", J, u)                            # (nb,6)
+    V = jnp.einsum("ik,bi->bk", S, model.anc * u[None, :])       # (nb,6)
 
     # ---- inertia (with base-mass/CoM domain randomization) ----
     mass = model.mass.at[0].add(payload_mass)
@@ -289,10 +292,13 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
 
     f_bias = (jnp.einsum("bij,bj->bi", I_sp, avp)
               + _cross_force(V, jnp.einsum("bij,bj->bi", I_sp, V)))
-    C = jnp.einsum("bij,bi->j", J, f_bias)                       # (nv,)
+    C = jnp.einsum("bi,bi->i", model.anc,
+                   jnp.einsum("ik,bk->bi", S, f_bias))           # (nv,)
 
-    # ---- mass matrix ----
-    M = jnp.einsum("bki,bkl,blj->ij", J, I_sp, J)
+    # ---- mass matrix: M = Σ_b ancouter_b ⊙ (S I_b S^T) ----
+    anc_outer = model.anc[:, :, None] * model.anc[:, None, :]    # static
+    G = jnp.einsum("ik,bkl,jl->bij", S, I_sp, S)                 # (nb,nv,nv)
+    M = jnp.einsum("bij,bij->ij", anc_outer, G)
     M = M + jnp.diag(jnp.concatenate(
         [jnp.zeros(6), jnp.full((nj,), params.armature)]))
 
@@ -300,10 +306,17 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
     D = jnp.concatenate([jnp.zeros(6), model.joint_damping])
     tau = jnp.concatenate([jnp.zeros(6), joint_torque])
 
-    A = (M + params.dt * jnp.diag(D)
-         + params.dt * jnp.einsum("pia,pab,pjb->ij", Jp, Cmat, Jp))
+    # Contact normal/tangent damping folded in WITHOUT materializing the
+    # per-point 3x3 Cmat or any (P, 3, nv) relayout:
+    #   Jp^T C Jp = Σ_p [(act·c_n_imp − c_t) w_p w_p^T + c_t Jp_p^T Jp_p]
+    # with w_p = Jp_p^T n_p.
+    w = jnp.einsum("pia,pa->pi", Jp, c_n)                        # (P, nv)
+    coef = active * c_n_imp - c_t_imp                            # (P,)
+    A_c = (jnp.einsum("p,pi,pj->ij", coef, w, w)
+           + jnp.einsum("p,pia,pja->ij", c_t_imp, Jp, Jp))
+    A = M + params.dt * jnp.diag(D) + params.dt * A_c
     rhs = (M @ u + params.dt * (tau - C)
-           + params.dt * jnp.einsum("pia,pa->i", Jp, f_n0[:, None] * c_n))
+           + params.dt * jnp.einsum("pi,p->i", w, f_n0))
     if model.fixed_base:
         # asset.fix_base_link equivalent (legged_robot_config.py:228):
         # solve the joint subsystem with zero base motion.
