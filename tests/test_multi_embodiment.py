@@ -1,0 +1,84 @@
+"""Multi-embodiment batching tests (BASELINE.json config #4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wtw_tpu.models import load_robot
+from wtw_tpu.models.multi import assign_robots, stack_models
+from wtw_tpu.physics import EngineParams, PhysicsState, flat_heightfield
+from wtw_tpu.physics.engine import physics_step
+
+
+def _init_state(n, z):
+    q0 = jnp.array([0.1, 0.8, -1.5, -0.1, 0.8, -1.5,
+                    0.1, 1.0, -1.5, -0.1, 1.0, -1.5])
+    return PhysicsState(
+        base_pos=jnp.zeros((n, 3)).at[:, 2].set(z),
+        base_quat=jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (n, 1)),
+        base_lin_vel=jnp.zeros((n, 3)), base_ang_vel=jnp.zeros((n, 3)),
+        joint_q=jnp.tile(q0, (n, 1)), joint_qd=jnp.zeros((n, 12)))
+
+
+def test_stack_models_pads_spheres():
+    models = [load_robot(r) for r in ("go1", "go2", "b1")]
+    stacked = stack_models(models)
+    P = stacked.sph_radius.shape[1]
+    assert P == max(int(m.sph_body.shape[0]) for m in models)
+    assert stacked.mass.shape == (3, 13)
+    # padded spheres carry negative radius (inactive on ground AND ceiling)
+    assert float(stacked.sph_radius.min()) < 0
+
+
+def test_mixed_batch_steps_all_robots():
+    """Go1 + Go2 + B1 step together in one vmapped physics call; the heavy
+    B1 settles lower-velocity but all stay finite."""
+    models = [load_robot(r) for r in ("go1", "go2", "b1")]
+    stacked = stack_models(models)
+    N = 6
+    per_env, assignment = assign_robots(stacked, N)
+    hf = flat_heightfield()
+    params = EngineParams()
+    state = _init_state(N, 0.5)
+
+    step = jax.jit(jax.vmap(
+        lambda m, s: physics_step(m, hf, params, s, jnp.zeros(12),
+                                  jnp.float32(1.0), jnp.float32(0.0))[0],
+        in_axes=(0, 0)))
+    s = state
+    for _ in range(60):
+        s = step(per_env, s)
+    assert bool(jnp.isfinite(s.base_pos).all())
+    # all robots fell from 0.5 m toward the ground
+    assert float(s.base_pos[:, 2].max()) < 0.45
+    # robots alternate go1/go2/b1 with distinct masses, same topology
+    assert list(assignment[:3]) == [0, 1, 2]
+    m_per = np.asarray(per_env.mass.sum(axis=1))
+    assert m_per[2] > 2 * m_per[0]    # B1 heavier than Go1
+
+
+def test_mixed_batch_matches_single_robot():
+    """Env 0 (go1) in a mixed batch must produce EXACTLY the same physics
+    as a pure-go1 batch (padding must not perturb dynamics)."""
+    go1 = load_robot("go1")
+    stacked = stack_models([go1, load_robot("b1")])
+    per_env, _ = assign_robots(stacked, 2)
+    hf = flat_heightfield()
+    params = EngineParams()
+    state = _init_state(2, 0.35)
+
+    step_mixed = jax.jit(jax.vmap(
+        lambda m, s: physics_step(m, hf, params, s, jnp.zeros(12),
+                                  jnp.float32(1.0), jnp.float32(0.0))[0],
+        in_axes=(0, 0)))
+    step_pure = jax.jit(jax.vmap(
+        lambda s: physics_step(go1, hf, params, s, jnp.zeros(12),
+                               jnp.float32(1.0), jnp.float32(0.0))[0]))
+    s_mixed, s_pure = state, state
+    for _ in range(20):
+        s_mixed = step_mixed(per_env, s_mixed)
+        s_pure = step_pure(s_pure)
+    np.testing.assert_allclose(np.asarray(s_mixed.base_pos[0]),
+                               np.asarray(s_pure.base_pos[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_mixed.joint_q[0]),
+                               np.asarray(s_pure.joint_q[0]), atol=1e-5)
