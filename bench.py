@@ -22,11 +22,18 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--num-envs", type=int, default=4096)
+    ap.add_argument("--num-envs", type=int, default=4096,
+                    help="per-device env count")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--mode", choices=["train", "env"], default="train")
+    ap.add_argument("--mode", choices=["train", "env", "scaling"],
+                    default="train")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="scaling mode: devices to use (0 = all)")
     args_cli = ap.parse_args()
+
+    if args_cli.mode == "scaling":
+        return bench_scaling(args_cli)
 
     from wtw_tpu.config import go1_mob_config
     from wtw_tpu.envs import LeggedEnv
@@ -97,6 +104,78 @@ def main():
     print(json.dumps(result))
     print(f"# iter time {dt*1000:.1f} ms | warmup+compile {compile_s:.1f} s "
           f"| device {jax.devices()[0].device_kind}", file=sys.stderr)
+
+
+
+
+def bench_scaling(args_cli):
+    """Multi-device scaling: the full distributed PPO_CSE iteration on a
+    1-D env-sharded mesh (envs per device constant = weak scaling). On a
+    multi-chip slice this measures the BASELINE.md >=85% scaling-efficiency
+    target; call `jax.distributed.initialize()` first on multi-host."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from wtw_tpu.config import go1_mob_config
+    from wtw_tpu.envs import LeggedEnv
+    from wtw_tpu.learn import PPOArgs
+    from wtw_tpu.learn.ppo_cse import init_train_state
+    from wtw_tpu.models import load_robot
+    from wtw_tpu.models.actor_critic import ACArgs
+    from wtw_tpu.parallel import make_distributed_train_fn, shard_world
+    from wtw_tpu.parallel.mesh import AXIS, replicate
+
+    devices = jax.devices()
+    n_dev = args_cli.devices or len(devices)
+    devices = np.array(devices[:n_dev])
+    mesh = Mesh(devices, (AXIS,))
+    total_envs = args_cli.num_envs * n_dev
+
+    cfg = go1_mob_config(num_envs=total_envs)
+    cfg = dataclasses.replace(
+        cfg, control=dataclasses.replace(cfg.control, control_type="P"))
+    # env-internal psums (reward-sign test, curriculum sync) need the mesh
+    # axis bound; init_state runs OUTSIDE shard_map, so init with a plain
+    # env and step with an axis-aware one (same arrays, same shapes).
+    env_init = LeggedEnv(cfg, load_robot("go1"))
+    env = LeggedEnv(cfg, load_robot("go1"), axis_name=AXIS)
+    ppo_args = PPOArgs()
+
+    world = env_init.init_state(jax.random.PRNGKey(0))
+    world, obs_dict = env_init.get_observations(world)
+    ts = init_train_state(jax.random.PRNGKey(1), env, ppo_args)
+    world, obs_dict = shard_world(mesh, world, obs_dict)
+    ts = replicate(mesh, ts)
+    train = make_distributed_train_fn(env, ppo_args, ACArgs(), mesh, ts,
+                                      world, obs_dict)
+
+    steps_per_iter = ppo_args.num_steps_per_env * total_envs
+    t_c = time.time()
+    for _ in range(args_cli.warmup):
+        ts, world, obs_dict, stats = train(ts, world, obs_dict)
+        jax.block_until_ready(stats["loss"])
+    compile_s = time.time() - t_c
+    t0 = time.time()
+    for _ in range(args_cli.iters):
+        ts, world, obs_dict, stats = train(ts, world, obs_dict)
+    jax.block_until_ready(stats["loss"])
+    dt = (time.time() - t0) / args_cli.iters
+
+    aggregate = steps_per_iter / dt
+    result = {
+        "metric": f"env_steps_per_s_scaling_{n_dev}dev_"
+                  f"{args_cli.num_envs}envs_per_dev",
+        "value": round(aggregate, 1),
+        "unit": "aggregate env-steps/s",
+        "vs_baseline": round(aggregate / 5_000_000, 4),
+    }
+    print(json.dumps(result))
+    print(f"# {n_dev} devices | {aggregate / n_dev:.0f} steps/s/device | "
+          f"iter {dt*1000:.1f} ms | compile {compile_s:.1f} s",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -80,8 +80,13 @@ def make_distributed_train_fn(env, args, ac_args, mesh: Mesh, ts, world,
     from ..learn.ppo_cse import make_train_fns
 
     train_fn = make_train_fns(env, args, ac_args, axis_name=AXIS)
-    # same output structure, no collectives — for eval_shape only
-    train_fn_local = make_train_fns(env, args, ac_args, axis_name=None)
+    # same output structure, no collectives — for eval_shape only (the env
+    # may itself carry an axis_name for its internal psums, which would be
+    # unbound outside shard_map)
+    import copy
+    env_local = copy.copy(env)
+    env_local.axis_name = None
+    train_fn_local = make_train_fns(env_local, args, ac_args, axis_name=None)
 
     ts_specs = jax.tree.map(lambda _: P(), ts)
     w_specs = world_specs(world)
