@@ -42,10 +42,9 @@ def main():
     from wtw_tpu.models import load_robot
     import dataclasses
 
+    # the true flagship workload: actuator-net torque model (converted
+    # reference weights), 15 commands, 70-dim obs, 30-step history
     cfg = go1_mob_config(num_envs=args_cli.num_envs)
-    # PD control until the reference actuator-net weights are converted
-    cfg = dataclasses.replace(
-        cfg, control=dataclasses.replace(cfg.control, control_type="P"))
     env = LeggedEnv(cfg, load_robot("go1"))
     ppo_args = PPOArgs()
 
