@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--log-freq", type=int, default=10)
     ap.add_argument("--control", default=None, choices=["P", "actuator_net"],
                     help="override control type")
+    ap.add_argument("--actuator-model-wrapper", action="store_true",
+                    help="wrap the env with the Go2 actuator model "
+                         "(delay/friction/LPF, the ActuatorModelWrapper "
+                         "analog)")
     args = ap.parse_args()
 
     from wtw_tpu import config as C
@@ -47,6 +51,9 @@ def main():
 
     robot = cfg.asset.robot
     env = make_legged_env(cfg, seed=args.seed)
+    if args.actuator_model_wrapper:
+        from wtw_tpu.envs.wrappers import ActuatorModelWrapper
+        env = ActuatorModelWrapper(env)
     run_dir = args.run_dir or f"runs/{args.preset}/seed{args.seed}"
     runner = Runner(
         env,
