@@ -273,6 +273,7 @@ class RewardScalesCfg:
     feet_slip: float = -0.04
     feet_clearance_cmd_linear: float = -30.0
     feet_impact_vel: float = 0.0
+    feet_contact_vel: float = 0.0
     action_smoothness_1: float = -0.1
     action_smoothness_2: float = -0.1
     raibert_heuristic: float = -10.0

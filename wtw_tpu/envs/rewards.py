@@ -179,6 +179,13 @@ def feet_impact_vel(ctx, cfg):
     return jnp.sum(contact * jnp.square(jnp.clip(prev_vz, -100.0, 0.0)))
 
 
+def feet_contact_vel(ctx, cfg):
+    """Penalize foot speed near the ground (corl_rewards.py:115-120)."""
+    near_ground = ctx.foot_positions[:, 2] < 0.03
+    foot_speed_sq = jnp.sum(jnp.square(ctx.foot_velocities), axis=-1)
+    return jnp.sum(near_ground * foot_speed_sq)
+
+
 def feet_air_time(ctx, cfg):
     # legged_gym classic (not present in CoRLRewards; kept for parity with
     # the legged_gym lineage the reference forks)
@@ -246,6 +253,7 @@ REWARD_FNS = {
     "feet_contact_forces": feet_contact_forces,
     "feet_clearance_cmd_linear": feet_clearance_cmd_linear,
     "feet_impact_vel": feet_impact_vel,
+    "feet_contact_vel": feet_contact_vel,
     "feet_air_time": feet_air_time,
     "raibert_heuristic": raibert_heuristic,
 }
