@@ -42,6 +42,13 @@ class PPOArgs:
     max_grad_norm: float = 1.0
     # RunnerArgs (ppo_cse/__init__.py:46)
     num_steps_per_env: int = 24
+    # Stabilization addition (NOT in the reference): clamp the learned
+    # per-dim policy std after each update. In the near-zero-reward early
+    # phase of the MoB recipe (ji22 exp rewards ~1e-6), the entropy bonus
+    # is the only nonvanishing gradient on std and can blow it up (observed
+    # std 1.0 -> 3.0 at 4000 envs, which thrashes the robot into instant
+    # falls). The clamp is inactive once real reward gradients appear.
+    std_range: tuple = (0.05, 2.0)
 
 
 @struct.dataclass
@@ -234,6 +241,9 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
                                jnp.minimum(1e-2, lr * 1.5), lr)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+            if args.std_range is not None:
+                params = {**params, "std": jnp.clip(
+                    params["std"], args.std_range[0], args.std_range[1])}
 
             # adaptation-module supervised substep (ppo.py:166-189)
             a_losses = []
