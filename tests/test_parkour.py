@@ -226,3 +226,23 @@ def test_raibert_error_zero_at_nominal(terrain_env):
                   foot_indices=jnp.full((N, 4), 0.25))
     err = env._raibert_error(e, cinfo)
     assert float(jnp.abs(err).max()) < 1e-5
+
+
+def test_parkour_determinism(parkour_env):
+    """Fixed seed -> bitwise-identical trajectories (BASELINE config #1
+    extended to Stack B)."""
+    env = parkour_env
+    step = jax.jit(env.step)
+
+    def run():
+        world = env.init_state(jax.random.PRNGKey(42))
+        for i in range(5):
+            world, obs, rew, done, info = step(
+                world, jnp.full((env.num_envs, 12), 0.05 * i))
+        return obs, rew, world.env.phys.base_pos
+
+    o1, r1, p1 = run()
+    o2, r2, p2 = run()
+    assert (np.asarray(o1) == np.asarray(o2)).all()
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+    assert (np.asarray(p1) == np.asarray(p2)).all()
