@@ -227,6 +227,17 @@ class RewardsCfg:
     only_positive_rewards: bool = False
     only_positive_rewards_ji22_style: bool = True
     sigma_rew_neg: float = 0.02
+    # Annealed penalty sharpness (NOT in the reference; deliberate
+    # stabilizer): when sigma_rew_neg_init is set, the ji22 exp sigma
+    # anneals linearly from it to sigma_rew_neg over
+    # sigma_rew_neg_anneal_steps policy steps. At the reference's fixed
+    # sigma=0.02 the early MoB rewards are ~1e-7/step (pos*exp(neg/0.02)
+    # with neg ~ -0.3) — below PPO's signal-to-noise threshold here; the
+    # policy degenerates to instant falls. With sigma 0.25 the identical
+    # recipe trains stably (tracking reward rises, near-full episodes);
+    # annealing recovers the reference's final objective.
+    sigma_rew_neg_init: Optional[float] = None
+    sigma_rew_neg_anneal_steps: int = 30_000
     tracking_sigma: float = 0.25
     tracking_sigma_yaw: float = 0.25
     soft_dof_pos_limit: float = 0.9
@@ -515,7 +526,7 @@ def go1_mob_config(num_envs: int = 4000) -> Cfg:
         control=ControlCfg(control_type="actuator_net"),
         terrain=TerrainCfg(),
         domain_rand=DomainRandCfg(),
-        rewards=RewardsCfg(),
+        rewards=RewardsCfg(sigma_rew_neg_init=0.25),
         reward_scales=RewardScalesCfg(),
         normalization=NormalizationCfg(),
     )

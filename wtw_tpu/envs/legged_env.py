@@ -614,7 +614,15 @@ class LeggedEnv:
         if cfg.rewards.only_positive_rewards:
             rew = jnp.clip(rew_pos + rew_neg, min=0.0)
         elif cfg.rewards.only_positive_rewards_ji22_style:
-            rew = rew_pos * jnp.exp(rew_neg / cfg.rewards.sigma_rew_neg)
+            sigma = cfg.rewards.sigma_rew_neg
+            if cfg.rewards.sigma_rew_neg_init is not None:
+                # annealed penalty sharpness (see RewardsCfg docstring)
+                frac = jnp.clip(
+                    common_step.astype(jnp.float32)
+                    / cfg.rewards.sigma_rew_neg_anneal_steps, 0.0, 1.0)
+                sigma = (cfg.rewards.sigma_rew_neg_init
+                         + frac * (sigma - cfg.rewards.sigma_rew_neg_init))
+            rew = rew_pos * jnp.exp(rew_neg / sigma)
         else:
             rew = rew_pos + rew_neg
 
