@@ -8,7 +8,6 @@ replication.
 """
 from __future__ import annotations
 
-import math
 import time
 
 import numpy as np

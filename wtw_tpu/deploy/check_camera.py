@@ -11,7 +11,6 @@ import argparse
 import collections
 import time
 
-from .lcm_types import camera_message_lcmt, camera_message_rect_wide
 from .lcm_wire import LCM
 
 CHANNELS = [

@@ -9,7 +9,6 @@ mode cycling and gait buttons (get_command :148-221).
 """
 from __future__ import annotations
 
-import threading
 import time
 
 import numpy as np

@@ -17,7 +17,6 @@ The grid is static per config, built in numpy at env-construction time.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import jax

@@ -18,8 +18,7 @@ steps (legged_robot.py:74-81).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ from flax import struct
 from ..config import Cfg
 from ..models.robot import RobotModel, default_joint_angles
 from ..physics import EngineParams, HeightField, PhysicsState, flat_heightfield
-from ..physics.engine import fk, physics_step
+from ..physics.engine import physics_step
 from ..utils import quat as quat_util
 from . import curriculum as curr
 from . import gait, observations

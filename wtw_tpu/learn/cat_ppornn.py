@@ -20,7 +20,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax import struct
 
 from .cat_ppo import (CatPPOArgs, RMSState, cat_gae, init_mlp, mlp_apply,

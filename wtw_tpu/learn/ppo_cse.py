@@ -11,7 +11,6 @@ mirrors RunnerArgs.num_steps_per_env=24 (ppo_cse/__init__.py:46).
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Dict, Tuple
 

@@ -10,7 +10,6 @@ state is opaque — SURVEY.md §5.4).
 from __future__ import annotations
 
 import csv
-import json
 import os
 import pickle
 import time

@@ -14,7 +14,6 @@ state is opaque.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 
