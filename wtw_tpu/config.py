@@ -237,7 +237,9 @@ class RewardsCfg:
     # recipe trains stably (tracking reward rises, near-full episodes);
     # annealing recovers the reference's final objective.
     sigma_rew_neg_init: Optional[float] = None
-    sigma_rew_neg_anneal_steps: int = 30_000
+    # ~10k iterations at 24 steps/iter: the policy must be tracking well
+    # before full penalty sharpness or it re-enters the degenerate regime
+    sigma_rew_neg_anneal_steps: int = 240_000
     tracking_sigma: float = 0.25
     tracking_sigma_yaw: float = 0.25
     soft_dof_pos_limit: float = 0.9
