@@ -32,9 +32,9 @@ class CatPPOArgs:
     gamma: float = 0.99
     gae_lambda: float = 0.95
     update_epochs: int = 5
-    num_minibatches: int = 4
+    num_minibatches: int = 6          # minibatch_size 16384 of 24*4096
     clip_coef: float = 0.2
-    ent_coef: float = 0.0
+    ent_coef: float = 0.001
     vf_coef: float = 2.0
     max_grad_norm: float = 1.0
     norm_adv: bool = True

@@ -202,13 +202,18 @@ def buffer_sample(buf: SeqBuffer, key, batch: int, seq_len: int):
     steps after an in-window hard done are masked out (:273-334)."""
     T, N = buf.rewards.shape[:2]
     k1, k2 = jax.random.split(key)
+    # offsets are relative to the OLDEST entry so windows never cross the
+    # ring's write seam once the buffer has wrapped (oldest entry sits at
+    # `pos` when full, at 0 otherwise)
     max_start = jnp.maximum(buf.filled - seq_len - 1, 1)
-    starts = jax.random.randint(k1, (batch,), 0, max_start)
+    offsets = jax.random.randint(k1, (batch,), 0, max_start)
+    oldest = jnp.where(buf.filled >= T, buf.pos, 0)
+    starts = (oldest + offsets) % T
     envs_ = jax.random.randint(k2, (batch,), 0, N)
-    t_idx = starts[:, None] + jnp.arange(seq_len)[None, :]      # (B, L)
+    t_idx = (starts[:, None] + jnp.arange(seq_len)[None, :]) % T  # (B, L)
 
     g = lambda a: a[t_idx, envs_[:, None]]
-    g1 = lambda a: a[t_idx + 1, envs_[:, None]]
+    g1 = lambda a: a[(t_idx + 1) % T, envs_[:, None]]
     dones = g(buf.true_dones)
     # valid until the first hard done inside the window (inclusive)
     prior_done = jnp.cumsum(
@@ -222,7 +227,7 @@ def buffer_sample(buf: SeqBuffer, key, batch: int, seq_len: int):
         "next_obs": g1(buf.obs), "next_priv": g1(buf.priv),
         "next_vobs": g1(buf.vobs).astype(jnp.float32) / 255.0,
         "hidden_in0": buf.hidden_in[starts, envs_],             # (B, rnn)
-        "hidden_out0": buf.hidden_in[starts + 1, envs_],
+        "hidden_out0": buf.hidden_in[(starts + 1) % T, envs_],
         "mask": mask,
     }
 
