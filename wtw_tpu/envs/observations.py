@@ -136,7 +136,7 @@ def build_privileged_obs(cfg: Cfg, *, friction, restitution, payload,
         blocks.append((base_lin_vel - sh) * sc)
     if cfg.env.priv_observe_gravity:
         sc, sh = _scale_shift(n.gravity_range)
-        blocks.append((gravity_offset - sh) / sc)
+        blocks.append((gravity_offset - sh) * sc)
     if cfg.env.priv_observe_clock_inputs:
         blocks.append(clock_inputs)
     if cfg.env.priv_observe_desired_contact_states:
