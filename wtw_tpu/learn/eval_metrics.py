@@ -183,13 +183,15 @@ def evaluate_policy(env, policy_fn, steps: int = 250, seed: int = 0,
         actions = policy_fn(obs)
         world, obs, rew, done, info = env.step(world, actions)
         if commands is not None:
-            w = world.replace(env=world.env.replace(commands=jnp.broadcast_to(
-                jnp.asarray(commands), world.env.commands.shape)))
-        else:
-            w = world
-        vals = {name: fn(w) for name, fn in METRICS_FNS.items()}
-        vals["CoT"] = cot(w)
-        return w, obs, rew, vals
+            # re-pin the evaluation command after any resample/reset so
+            # the WHOLE rollout tracks the requested command (the analog of
+            # play.py overwriting env.commands each step, :120-131)
+            world = world.replace(env=world.env.replace(
+                commands=jnp.broadcast_to(jnp.asarray(commands),
+                                          world.env.commands.shape)))
+        vals = {name: fn(world) for name, fn in METRICS_FNS.items()}
+        vals["CoT"] = cot(world)
+        return world, obs, rew, vals
 
     rews = []
     for _ in range(steps):

@@ -37,7 +37,15 @@ def record_rollout(env, policy_fn, steps: int = 250, seed: int = 0,
                                 world.env.commands.shape)
         world = world.replace(env=world.env.replace(commands=cmds))
     world, obs = env.get_observations(world)
-    step = jax.jit(lambda w, o: env.step(w, policy_fn(o)))
+
+    def _step(w, o):
+        w, o, rew, done, info = env.step(w, policy_fn(o))
+        if commands is not None:
+            w = w.replace(env=w.env.replace(commands=jnp.broadcast_to(
+                jnp.asarray(commands), w.env.commands.shape)))
+        return w, o, rew, done, info
+
+    step = jax.jit(_step)
     pos, quat, q = [], [], []
     for _ in range(steps):
         world, obs, rew, done, info = step(world, obs)
