@@ -204,3 +204,57 @@ def evaluate_policy(env, policy_fn, steps: int = 250, seed: int = 0,
     out["mean_reward"] = float(jnp.mean(jnp.stack(rews)))
     traces = {name: jnp.stack(v) for name, v in metrics.items()}
     return out, traces
+
+
+def gait_stats(env, policy_fn, steps: int = 400, seed: int = 0,
+               commands=None):
+    """Measure the realized gait: per-foot contact duty factor, stride
+    frequency (from contact onsets), and diagonal-pair phase correlation
+    (trot = diagonal pairs in phase, lateral pairs anti-phase). The
+    quantitative analog of the reference's play.py contact plots
+    (scripts/go1/play.py:139-157)."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(seed)
+    world = env.init_state(key)
+    if commands is not None:
+        cmds = jnp.broadcast_to(jnp.asarray(commands),
+                                world.env.commands.shape)
+        world = world.replace(env=world.env.replace(commands=cmds))
+    world, obs = env.get_observations(world)
+
+    @jax.jit
+    def step(world, obs):
+        world, obs, rew, done, info = env.step(world, policy_fn(obs))
+        if commands is not None:
+            world = world.replace(env=world.env.replace(
+                commands=jnp.broadcast_to(jnp.asarray(commands),
+                                          world.env.commands.shape)))
+        return world, obs, world.env.last_contacts
+
+    contacts = []
+    for _ in range(steps):
+        world, obs, c = step(world, obs)
+        contacts.append(np.asarray(c))
+    c = np.stack(contacts).astype(np.float32)     # (T, N, 4) FR FL RR RL
+    duty = c.mean(axis=0).mean(axis=0)            # (4,)
+
+    # stride frequency from contact onsets of foot 0, averaged over envs
+    onsets = np.diff(c[:, :, 0], axis=0) > 0
+    n_strides = onsets.sum(axis=0)
+    freq = n_strides / (steps * env.dt)
+
+    def _corr(a, b):
+        a = a - a.mean(axis=0, keepdims=True)
+        b = b - b.mean(axis=0, keepdims=True)
+        denom = np.sqrt((a * a).sum(axis=0) * (b * b).sum(axis=0)) + 1e-8
+        return ((a * b).sum(axis=0) / denom).mean()
+
+    return {
+        "duty_factor": duty.tolist(),
+        "stride_freq_hz": float(freq.mean()),
+        "diag_corr": float((_corr(c[:, :, 0], c[:, :, 3])
+                            + _corr(c[:, :, 1], c[:, :, 2])) / 2),
+        "lateral_corr": float((_corr(c[:, :, 0], c[:, :, 1])
+                               + _corr(c[:, :, 2], c[:, :, 3])) / 2),
+    }
