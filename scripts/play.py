@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--sweep", default=None,
                     help="DR sweep preset (rand_regular, rand_large, ...)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--gait-stats", action="store_true",
+                    help="measure duty factor / stride freq / trot phase")
+    ap.add_argument("--video", default=None,
+                    help="render a rollout video to this path")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +75,16 @@ def main():
                                       seed=args.seed, commands=commands)
     summary["commanded_vx"] = args.vx
     summary["sweep"] = args.sweep or "train-distribution"
+    if args.gait_stats:
+        from wtw_tpu.learn.eval_metrics import gait_stats
+        summary["gait"] = gait_stats(env, policy, steps=args.steps,
+                                     seed=args.seed, commands=commands)
+    if args.video:
+        from wtw_tpu.utils.video import record_rollout, render_trajectory
+        traj = record_rollout(env, policy, steps=min(args.steps, 250),
+                              seed=args.seed, commands=commands)
+        summary["video"] = render_trajectory(traj, env.model, hf=env.hf,
+                                             path=args.video)
     print(json.dumps(summary, indent=1))
 
 
