@@ -506,7 +506,9 @@ class ParkourEnv:
         cfg = self.cfg
         model = self.model
         nj = model.nj
-        N = self.num_envs
+        # batch size from the data, not cfg: under shard_map each shard
+        # sees num_envs / n_devices rows
+        N = actions.shape[0]
 
         # ---- decimation loop: PD or actuator net + motor friction ----
         def env_step(s: ParkourEnvState, action):
@@ -1030,7 +1032,7 @@ class ParkourEnv:
                   + phases_off[None, :])
             blocks.append(jnp.concatenate([jnp.cos(ph), jnp.sin(ph)], -1))
         if cfg.observe_imu:
-            blocks.append(jnp.zeros((self.num_envs, 3)))
+            blocks.append(jnp.zeros((phys.base_pos.shape[0], 3)))
         if cfg.observe_clock_inputs:
             blocks.append(env.clock_inputs)
         obs = jnp.concatenate(blocks, axis=-1)

@@ -56,10 +56,18 @@ class RMSState:
                    count=jnp.ones(()))
 
 
-def rms_update(s: RMSState, x: jnp.ndarray) -> RMSState:
+def rms_update(s: RMSState, x: jnp.ndarray,
+               axis_name: str | None = None) -> RMSState:
     bm = jnp.mean(x, axis=0)
-    bv = jnp.var(x, axis=0)
+    ex2 = jnp.mean(jnp.square(x), axis=0)
     bc = x.shape[0]
+    if axis_name is not None:
+        # cross-shard moments: every shard must apply the IDENTICAL update
+        # or the replicated normalizer state diverges under shard_map
+        bm = jax.lax.pmean(bm, axis_name)
+        ex2 = jax.lax.pmean(ex2, axis_name)
+        bc = bc * jax.lax.psum(1, axis_name)
+    bv = ex2 - jnp.square(bm)
     delta = bm - s.mean
     tot = s.count + bc
     new_mean = s.mean + delta * bc / tot
@@ -192,8 +200,9 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
         return jax.lax.pmean(x, axis_name) if axis_name is not None else x
 
     def train_iteration(ts: CatTrainState, world, obs_norm):
-        """obs_norm: current normalized observation (N, num_obs)."""
-        N = env.num_envs
+        """obs_norm: current normalized observation (N, num_obs). N comes
+        from the data: under shard_map it is num_envs / n_devices."""
+        N = obs_norm.shape[0]
 
         def rollout_step(carry, _):
             key, world, obs_norm, done, true_done, obs_rms = carry
@@ -204,7 +213,7 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
             logp, _ = log_prob_entropy(ts.params, obs_norm, actions)
             value = get_value(ts.params, obs_norm)
             world, next_obs, rew, done_prob, info = env.step(world, actions)
-            obs_rms = rms_update(obs_rms, next_obs)
+            obs_rms = rms_update(obs_rms, next_obs, axis_name)
             next_obs_norm = rms_norm(obs_rms, next_obs)
             tr = (obs_norm, actions, logp, rew, done, true_done, value)
             carry = (key, world, next_obs_norm, done_prob,
@@ -233,8 +242,8 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
         b_adv, b_ret, b_val = flat(advs), flat(returns), flat(values)
 
         # value normalization over the batch (algos/PPO.py:273-275)
-        value_rms = rms_update(ts.value_rms, b_val)
-        value_rms = rms_update(value_rms, b_ret)
+        value_rms = rms_update(ts.value_rms, b_val, axis_name)
+        value_rms = rms_update(value_rms, b_ret, axis_name)
         b_val_n = rms_norm(value_rms, b_val)
         b_ret_n = rms_norm(value_rms, b_ret)
 
@@ -296,7 +305,10 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
         loss, pg_loss, v_loss = jax.tree.map(jnp.mean, aux)
 
         terrain_lvl, ep_sums, n_resets, ep_len = metrics
-        total_resets = jnp.maximum(jnp.sum(n_resets), 1)
+        def _psum(x):
+            return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+        total_resets = jnp.maximum(_psum(jnp.sum(n_resets)), 1)
         ts = ts.replace(params=params, opt_state=opt_state, obs_rms=obs_rms,
                         value_rms=value_rms, key=key,
                         iteration=ts.iteration + 1,
@@ -306,10 +318,10 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
             "value_loss": _pmean(v_loss),
             "mean_step_reward": _pmean(jnp.mean(rewards)),
             "terrain_level_mean": _pmean(terrain_lvl[-1]),
-            "episode_sums": jnp.sum(ep_sums, axis=0) / total_resets,
-            "mean_episode_length": (jnp.sum(ep_len)
+            "episode_sums": _psum(jnp.sum(ep_sums, axis=0)) / total_resets,
+            "mean_episode_length": (_psum(jnp.sum(ep_len))
                                     / total_resets * env.dt),
-            "num_episodes": jnp.sum(n_resets),
+            "num_episodes": _psum(jnp.sum(n_resets)),
             "lr": lr,
         }
         return ts, world, next_obs_norm, stats

@@ -100,3 +100,51 @@ def make_distributed_train_fn(env, args, ac_args, mesh: Mesh, ts, world,
                             in_specs=(ts_specs, w_specs, obs_specs),
                             out_specs=out_specs)
     return jax.jit(sharded)
+
+
+def parkour_world_specs(world) -> Any:
+    """PartitionSpec tree for a ParkourWorld: env leaves + obs history
+    sharded; CaT running maxes / soft_p curriculum / step counter
+    replicated (they are psum/pmax-synchronized inside the step)."""
+    env_specs = jax.tree.map(lambda _: P(AXIS), world.env)
+    cat_specs = jax.tree.map(lambda _: P(), world.cat)
+    return world.replace(env=env_specs, cat=cat_specs,
+                         soft_p_progress=P(), hist_obs=P(AXIS),
+                         common_step=P())
+
+
+def make_distributed_cat_train_fn(env, args, mesh: Mesh, ts, world, obs):
+    """shard_map'd cat_ppo iteration (Stack B multi-chip): envs + replay
+    observations sharded over AXIS, learner/normalizers replicated, grads
+    pmean'd; the env's CaT batch-max is pmax'd (CaTManager axis_name)."""
+    from ..learn.cat_ppo import make_train_fn
+
+    train_fn = make_train_fn(env, args, axis_name=AXIS)
+    import copy
+    env_local = copy.copy(env)
+    env_local.axis_name = None
+    if getattr(env_local, "cstr", None) is not None:
+        env_local.cstr = copy.copy(env_local.cstr)
+        env_local.cstr.axis_name = None
+    train_fn_local = make_train_fn(env_local, args, axis_name=None)
+
+    # per-env done carries live in the TrainState: shard them
+    ts_specs = jax.tree.map(lambda _: P(), ts)
+    ts_specs = ts_specs.replace(next_done=P(AXIS), next_true_done=P(AXIS))
+    w_specs = parkour_world_specs(world)
+    obs_specs = P(AXIS)
+
+    out_shape = jax.eval_shape(train_fn_local, ts, world, obs)
+    stats_specs = jax.tree.map(lambda _: P(), out_shape[3])
+    out_specs = (ts_specs, w_specs, obs_specs, stats_specs)
+
+    sharded = jax.shard_map(train_fn, mesh=mesh,
+                            in_specs=(ts_specs, w_specs, obs_specs),
+                            out_specs=out_specs)
+    return jax.jit(sharded)
+
+
+def shard_parkour_world(mesh: Mesh, world, obs):
+    world = _place(mesh, world, parkour_world_specs(world))
+    obs = jax.device_put(obs, NamedSharding(mesh, P(AXIS)))
+    return world, obs
