@@ -237,9 +237,11 @@ class RewardsCfg:
     # recipe trains stably (tracking reward rises, near-full episodes);
     # annealing recovers the reference's final objective.
     sigma_rew_neg_init: Optional[float] = None
-    # ~10k iterations at 24 steps/iter: the policy must be tracking well
-    # before full penalty sharpness or it re-enters the degenerate regime
-    sigma_rew_neg_anneal_steps: int = 240_000
+    # Anneal horizon ~ the reference's full training scale (100k iterations
+    # x 24 steps): sharpening faster than the policy improves re-enters the
+    # degenerate near-zero-reward regime (measured: at 10k-iteration anneal
+    # the run degrades once sigma < ~0.08).
+    sigma_rew_neg_anneal_steps: int = 2_400_000
     tracking_sigma: float = 0.25
     tracking_sigma_yaw: float = 0.25
     soft_dof_pos_limit: float = 0.9
