@@ -181,11 +181,18 @@ class LeggedEnv:
 
         # timing (in policy steps; _parse_cfg legged_robot.py:1716-1732)
         self.max_episode_length = cfg.max_episode_length
-        self.resample_interval = int(cfg.commands.resampling_time / self.dt)
-        self.rand_interval = int(np.ceil(cfg.domain_rand.rand_interval_s / self.dt))
-        self.push_interval = int(np.ceil(cfg.domain_rand.push_interval_s / self.dt))
-        self.grav_interval = int(np.ceil(
-            cfg.domain_rand.gravity_rand_interval_s / self.dt))
+        # clamp to int32: eval presets use resampling_time=1e9 to freeze
+        # commands (eval_metrics.base_set), which must not overflow the
+        # int32 episode counters
+        _i32 = 2 ** 31 - 1
+        self.resample_interval = min(
+            int(cfg.commands.resampling_time / self.dt), _i32)
+        self.rand_interval = min(
+            int(np.ceil(cfg.domain_rand.rand_interval_s / self.dt)), _i32)
+        self.push_interval = min(
+            int(np.ceil(cfg.domain_rand.push_interval_s / self.dt)), _i32)
+        self.grav_interval = min(int(np.ceil(
+            cfg.domain_rand.gravity_rand_interval_s / self.dt)), _i32)
         self.grav_duration = int(np.ceil(
             self.grav_interval * cfg.domain_rand.gravity_impulse_duration))
         self.ep_len_for_curriculum = min(self.max_episode_length,
