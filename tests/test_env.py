@@ -117,3 +117,29 @@ def test_episode_reset_on_timeout(flat_env):
     assert bool(jnp.all(world2.env.episode_length == 0))
     # episode sums were captured then cleared
     assert bool(jnp.all(world2.env.episode_sums == 0.0))
+
+
+def test_sigma_anneal_schedule():
+    """Annealed ji22 sigma: soft early, reference-sharp after the horizon
+    (RewardsCfg.sigma_rew_neg_init docstring)."""
+    import dataclasses
+    from wtw_tpu.config import go1_flat_config
+    from wtw_tpu.envs import make_legged_env
+
+    cfg = go1_flat_config(num_envs=2)
+    cfg = dataclasses.replace(cfg, rewards=dataclasses.replace(
+        cfg.rewards, only_positive_rewards=False,
+        only_positive_rewards_ji22_style=True,
+        sigma_rew_neg=0.02, sigma_rew_neg_init=0.25,
+        sigma_rew_neg_anneal_steps=10))
+    env = make_legged_env(cfg, seed=0)
+    world = env.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    rewards = []
+    for i in range(14):
+        world, obs, rew, done, info = step(world, jnp.zeros((2, 12)))
+        rewards.append(float(rew.mean()))
+    # identical state dynamics with sharpening sigma -> rewards shrink as
+    # the exp factor tightens; and everything stays finite past the horizon
+    assert all(np.isfinite(rewards))
+    assert rewards[-1] <= rewards[0] * 1.5  # no blow-up
