@@ -29,6 +29,7 @@ from ..config import Cfg
 from ..models.robot import RobotModel, default_joint_angles
 from ..physics import EngineParams, HeightField, PhysicsState, flat_heightfield
 from ..physics.engine import physics_step
+from ..physics.batched import physics_step_batched
 from ..utils import quat as quat_util
 from . import curriculum as curr
 from . import gait, observations
@@ -105,11 +106,19 @@ class LeggedEnv:
     def __init__(self, cfg: Cfg, model: RobotModel,
                  heightfield: HeightField | None = None,
                  env_origins: np.ndarray | None = None,
-                 axis_name: str | None = None):
+                 axis_name: str | None = None,
+                 physics_backend: str = "auto"):
         # axis_name: mesh axis the env batch is sharded over (None = single
         # device). Cross-shard state (curriculum weights, reward-sign test)
         # is psum-synchronized so replicated leaves stay identical.
         self.axis_name = axis_name
+        # physics_backend: 'vmap' (per-env engine, CPU default — fast XLA:CPU
+        # compiles), 'xla' (env-minor batched), 'pallas' (batched + fused
+        # Pallas dynamics kernel, TPU default — ~8x faster substep).
+        if physics_backend == "auto":
+            physics_backend = ("pallas" if jax.default_backend() == "tpu"
+                               else "vmap")
+        self.physics_backend = physics_backend
         self.cfg = cfg
         self.model = model
         self.hf = heightfield if heightfield is not None else flat_heightfield()
@@ -397,13 +406,22 @@ class LeggedEnv:
     # ------------------------------------------------------------------
     # torque model (legged_robot.py:907-946)
     # ------------------------------------------------------------------
-    def _compute_torques(self, s: EnvState, actions_scaled: jnp.ndarray):
+    def _compute_torques(self, s: EnvState, actions_scaled: jnp.ndarray,
+                         batched: bool = False):
         """One decimation substep's torques; returns (torques, updated lag
-        buffer, joint_pos_target, actuator history updates)."""
+        buffer, joint_pos_target, actuator history updates). All math
+        broadcasts over an optional leading env axis (batched=True shifts
+        the lag-buffer axis)."""
         cfg = self.cfg
         if cfg.domain_rand.randomize_lag_timesteps:
-            lag = jnp.concatenate([s.lag_buffer[1:], actions_scaled[None]], axis=0)
-            target = lag[0] + self.default_joint_q
+            if batched:
+                lag = jnp.concatenate(
+                    [s.lag_buffer[:, 1:], actions_scaled[:, None]], axis=1)
+                target = lag[:, 0] + self.default_joint_q
+            else:
+                lag = jnp.concatenate(
+                    [s.lag_buffer[1:], actions_scaled[None]], axis=0)
+                target = lag[0] + self.default_joint_q
         else:
             lag = s.lag_buffer
             target = actions_scaled + self.default_joint_q
@@ -441,33 +459,62 @@ class LeggedEnv:
 
         grav_off = world.gravity_offset
 
-        def env_step(s: EnvState, action: jnp.ndarray):
-            k_next = jax.random.fold_in(s.rng, 3)
-            prev_foot_vel = s.prev_foot_velocities
+        if self.physics_backend != "vmap":
+            # batched env-minor engine (TPU hot path): one call for all envs
+            prev_foot_vel = world.env.prev_foot_velocities
+            k_next = jax.vmap(lambda k: jax.random.fold_in(k, 3))(
+                world.env.rng)
+            actions_scaled = actions * self.action_scale_vec
 
-            actions_scaled = action * self.action_scale_vec
-
-            def substep(carry, _):
+            def substep_b(carry, _):
                 s_in = carry
-                tau, lag, target, hist = self._compute_torques(s_in, actions_scaled)
-                phys, cinfo = physics_step(
+                tau, lag, target, hist = self._compute_torques(
+                    s_in, actions_scaled, batched=True)
+                phys, cinfo = physics_step_batched(
                     model, self.hf, self.engine_params, s_in.phys, tau,
                     s_in.friction, s_in.restitution,
                     payload_mass=s_in.payload,
                     com_offset=s_in.com_displacement,
-                    external_accel=grav_off)
+                    external_accel=grav_off,
+                    backend=self.physics_backend)
                 s_out = s_in.replace(phys=phys, lag_buffer=lag,
                                      joint_pos_target=target, torques=tau,
                                      **hist)
                 return s_out, cinfo
 
-            s2, cinfos = jax.lax.scan(substep, s.replace(actions=action),
-                                      None, length=cfg.control.decimation)
+            env, cinfos = jax.lax.scan(
+                substep_b, world.env.replace(actions=actions), None,
+                length=cfg.control.decimation)
             cinfo = jax.tree.map(lambda x: x[-1], cinfos)
-            return s2, cinfo, prev_foot_vel, k_next
+        else:
+            def env_step(s: EnvState, action: jnp.ndarray):
+                k_next = jax.random.fold_in(s.rng, 3)
+                prev_foot_vel = s.prev_foot_velocities
 
-        env, cinfo, prev_foot_vel, k_next = jax.vmap(env_step)(
-            world.env, actions)
+                actions_scaled = action * self.action_scale_vec
+
+                def substep(carry, _):
+                    s_in = carry
+                    tau, lag, target, hist = self._compute_torques(
+                        s_in, actions_scaled)
+                    phys, cinfo = physics_step(
+                        model, self.hf, self.engine_params, s_in.phys, tau,
+                        s_in.friction, s_in.restitution,
+                        payload_mass=s_in.payload,
+                        com_offset=s_in.com_displacement,
+                        external_accel=grav_off)
+                    s_out = s_in.replace(phys=phys, lag_buffer=lag,
+                                         joint_pos_target=target, torques=tau,
+                                         **hist)
+                    return s_out, cinfo
+
+                s2, cinfos = jax.lax.scan(substep, s.replace(actions=action),
+                                          None, length=cfg.control.decimation)
+                cinfo = jax.tree.map(lambda x: x[-1], cinfos)
+                return s2, cinfo, prev_foot_vel, k_next
+
+            env, cinfo, prev_foot_vel, k_next = jax.vmap(env_step)(
+                world.env, actions)
         env = env.replace(rng=k_next,
                           episode_length=env.episode_length + 1)
         common_step = world.common_step + 1

@@ -35,6 +35,7 @@ from flax import struct
 from ..models.robot import RobotModel, default_joint_angles
 from ..physics import EngineParams, HeightField, PhysicsState
 from ..physics.engine import physics_step
+from ..physics.batched import physics_step_batched
 from ..physics.heightfield import height_min3
 from ..terrain import (ParkourTerrainCfg, assign_parkour_origins,
                        build_parkour, ceiling_heightfield, to_heightfield)
@@ -264,10 +265,16 @@ class ParkourEnv:
     (world', obs (N, obs_dim), rew (N,), done_prob (N,), info)."""
 
     def __init__(self, cfg: ParkourCfg, model: RobotModel,
-                 seed: int = 0, axis_name: str | None = None):
+                 seed: int = 0, axis_name: str | None = None,
+                 physics_backend: str = "auto"):
         self.cfg = cfg
         self.model = model
         self.axis_name = axis_name
+        # see LeggedEnv: 'vmap' on CPU, fused-Pallas batched engine on TPU
+        if physics_backend == "auto":
+            physics_backend = ("pallas" if jax.default_backend() == "tpu"
+                               else "vmap")
+        self.physics_backend = physics_backend
         self.num_envs = cfg.num_envs
         self.num_actions = cfg.num_actions
         self.dt = cfg.policy_dt
@@ -511,44 +518,69 @@ class ParkourEnv:
         N = actions.shape[0]
 
         # ---- decimation loop: PD or actuator net + motor friction ----
-        def env_step(s: ParkourEnvState, action):
-            k_next = jax.random.fold_in(s.rng, 3)
+        # torque math broadcasts over an optional leading env axis, so it is
+        # shared between the vmap path and the batched-engine path
+        def compute_tau(s_in, action):
+            q, qd = s_in.phys.joint_q, s_in.phys.joint_qd
+            target = cfg.action_scale * action + self.default_joint_q
+            if cfg.use_actuator_net:
+                from ..models.actuator_net import apply_actuator_net
+                pos_err = q - target
+                tau = apply_actuator_net(
+                    self.actuator_params, pos_err, s_in.joint_pos_err_last,
+                    s_in.joint_pos_err_last_last, qd, s_in.joint_vel_last,
+                    s_in.joint_vel_last_last)
+                hist = dict(joint_pos_err_last=pos_err,
+                            joint_pos_err_last_last=s_in.joint_pos_err_last,
+                            joint_vel_last=qd,
+                            joint_vel_last_last=s_in.joint_vel_last)
+            else:
+                tau = cfg.stiffness * (target - q) - cfg.damping * qd
+                hist = {}
+            tau = jnp.clip(tau, -cfg.torque_clip, cfg.torque_clip)
+            # stiction + viscous motor friction (:1242-1245)
+            tau = tau - (s_in.motor_Fs * jnp.tanh(qd / 0.1)
+                         + s_in.motor_mu_v * qd)
+            return tau, hist
 
-            def substep(carry, _):
+        if self.physics_backend != "vmap":
+            k_next = jax.vmap(lambda k: jax.random.fold_in(k, 3))(
+                world.env.rng)
+
+            def substep_b(carry, _):
                 s_in = carry
-                q, qd = s_in.phys.joint_q, s_in.phys.joint_qd
-                target = cfg.action_scale * action + self.default_joint_q
-                if cfg.use_actuator_net:
-                    from ..models.actuator_net import apply_actuator_net
-                    pos_err = q - target
-                    tau = apply_actuator_net(
-                        self.actuator_params, pos_err, s_in.joint_pos_err_last,
-                        s_in.joint_pos_err_last_last, qd, s_in.joint_vel_last,
-                        s_in.joint_vel_last_last)
-                    hist = dict(joint_pos_err_last=pos_err,
-                                joint_pos_err_last_last=s_in.joint_pos_err_last,
-                                joint_vel_last=qd,
-                                joint_vel_last_last=s_in.joint_vel_last)
-                else:
-                    tau = cfg.stiffness * (target - q) - cfg.damping * qd
-                    hist = {}
-                tau = jnp.clip(tau, -cfg.torque_clip, cfg.torque_clip)
-                # stiction + viscous motor friction (:1242-1245)
-                tau = tau - (s_in.motor_Fs * jnp.tanh(qd / 0.1)
-                             + s_in.motor_mu_v * qd)
-                phys, cinfo = physics_step(
+                tau, hist = compute_tau(s_in, actions)
+                phys, cinfo = physics_step_batched(
                     model, self.hf, self.engine_params, s_in.phys, tau,
                     s_in.friction, jnp.float32(0.0),
-                    hf_ceiling=self.hf_ceiling)
+                    hf_ceiling=self.hf_ceiling,
+                    backend=self.physics_backend)
                 return s_in.replace(phys=phys, torques=tau, **hist), cinfo
 
-            s2, cinfos = jax.lax.scan(
-                substep, s.replace(actions=action), None,
+            env, cinfos = jax.lax.scan(
+                substep_b, world.env.replace(actions=actions), None,
                 length=cfg.decimation)
             cinfo = jax.tree.map(lambda x: x[-1], cinfos)
-            return s2, cinfo, k_next
+        else:
+            def env_step(s: ParkourEnvState, action):
+                k_next = jax.random.fold_in(s.rng, 3)
 
-        env, cinfo, k_next = jax.vmap(env_step)(world.env, actions)
+                def substep(carry, _):
+                    s_in = carry
+                    tau, hist = compute_tau(s_in, action)
+                    phys, cinfo = physics_step(
+                        model, self.hf, self.engine_params, s_in.phys, tau,
+                        s_in.friction, jnp.float32(0.0),
+                        hf_ceiling=self.hf_ceiling)
+                    return s_in.replace(phys=phys, torques=tau, **hist), cinfo
+
+                s2, cinfos = jax.lax.scan(
+                    substep, s.replace(actions=action), None,
+                    length=cfg.decimation)
+                cinfo = jax.tree.map(lambda x: x[-1], cinfos)
+                return s2, cinfo, k_next
+
+            env, cinfo, k_next = jax.vmap(env_step)(world.env, actions)
         env = env.replace(rng=k_next, progress=env.progress + 1)
         common_step = world.common_step + 1
 
