@@ -33,6 +33,12 @@ def main():
                     help="wrap the env with the Go2 actuator model "
                          "(delay/friction/LPF, the ActuatorModelWrapper "
                          "analog)")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="config override, e.g. --set rewards.sigma_rew_neg"
+                         "=0.02 --set ppo.learning_rate=5e-4 --set "
+                         "runner.save_interval=1000 (Hydra-override analog, "
+                         "cfg/config.yaml:61-65)")
+    ap.add_argument("--save-interval", type=int, default=400)
     args = ap.parse_args()
 
     from wtw_tpu import config as C
@@ -48,6 +54,16 @@ def main():
         cfg = dataclasses.replace(
             cfg, control=dataclasses.replace(cfg.control,
                                              control_type=args.control))
+    # route --set overrides: 'ppo.*' -> PPOArgs, 'runner.*' -> RunnerArgs,
+    # rest -> the Cfg tree
+    ppo_args = PPOArgs()
+    cfg_sets = [s for s in args.set
+                if not s.startswith(("ppo.", "runner."))]
+    ppo_sets = [s[len("ppo."):] for s in args.set if s.startswith("ppo.")]
+    run_sets = [s[len("runner."):] for s in args.set
+                if s.startswith("runner.")]
+    cfg = C.apply_overrides(cfg, cfg_sets)
+    ppo_args = C.apply_overrides(ppo_args, ppo_sets)
 
     robot = cfg.asset.robot
     env = make_legged_env(cfg, seed=args.seed)
@@ -55,12 +71,13 @@ def main():
         from wtw_tpu.envs.wrappers import ActuatorModelWrapper
         env = ActuatorModelWrapper(env)
     run_dir = args.run_dir or f"runs/{args.preset}/seed{args.seed}"
-    runner = Runner(
-        env,
-        runner_args=RunnerArgs(run_dir=run_dir, log_freq=args.log_freq,
-                               resume=args.resume is not None,
-                               resume_path=args.resume),
-        seed=args.seed)
+    runner_args = C.apply_overrides(
+        RunnerArgs(run_dir=run_dir, log_freq=args.log_freq,
+                   save_interval=args.save_interval,
+                   resume=args.resume is not None,
+                   resume_path=args.resume), run_sets)
+    runner = Runner(env, args=ppo_args, runner_args=runner_args,
+                    seed=args.seed)
     print(f"preset={args.preset} robot={robot} envs={cfg.env.num_envs} "
           f"obs={cfg.env.num_observations} -> {run_dir}")
     runner.learn(args.iterations)

@@ -25,6 +25,10 @@ def _f(x):
 class EnvCfg:
     # legged_robot_config.py:7-62
     num_envs: int = 4096
+    # trailing eval envs (reference: eval_cfg appended after train envs,
+    # base_task.py:43-46): excluded from PPO updates, logged as eval/episode
+    # metrics, optionally teacher-driven (ppo_cse/__init__.py:140-145)
+    num_eval_envs: int = 0
     num_observations: int = 42
     num_privileged_obs: int = 2
     num_actions: int = 12
@@ -547,3 +551,49 @@ PRESETS.update({
     "b1_mob": b1_mob_config,
     "mini_cheetah_flat": mini_cheetah_flat_config,
 })
+
+
+def apply_overrides(obj, overrides):
+    """Generic `section.field=value` CLI overrides on the nested frozen
+    config tree — the analog of the reference's Hydra override syntax
+    (cfg/config.yaml:61-65, used by scripts/ppo_gridsearch.slurm:13-27).
+
+    Values are parsed with the existing field's type (bool accepts
+    true/false/1/0; tuples accept comma-separated items). Returns a new
+    config; raises KeyError on unknown paths so typos fail loudly."""
+    import dataclasses as _dc
+
+    def set_path(node, path, raw):
+        name = path[0]
+        if not hasattr(node, name):
+            raise KeyError(
+                f"no config field '{name}' on {type(node).__name__}")
+        cur = getattr(node, name)
+        if len(path) > 1:
+            return _dc.replace(node, **{name: set_path(cur, path[1:], raw)})
+        return _dc.replace(node, **{name: _coerce(cur, raw)})
+
+    def _coerce(cur, raw):
+        if isinstance(cur, bool):
+            return raw.lower() in ("1", "true", "yes", "on")
+        if isinstance(cur, int) and not isinstance(cur, bool):
+            return int(raw)
+        if isinstance(cur, float):
+            return float(raw)
+        if isinstance(cur, (tuple, list)):
+            parts = [p for p in raw.split(",") if p != ""]
+            elem = cur[0] if len(cur) else 0.0
+            return type(cur)(_coerce(elem, p) for p in parts)
+        if cur is None:
+            try:
+                return float(raw)
+            except ValueError:
+                return raw
+        return raw
+
+    for ov in overrides or []:
+        if "=" not in ov:
+            raise ValueError(f"override '{ov}' must be section.field=value")
+        path, raw = ov.split("=", 1)
+        obj = set_path(obj, path.split("."), raw)
+    return obj

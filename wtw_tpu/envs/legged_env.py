@@ -116,13 +116,18 @@ class LeggedEnv:
         # compiles), 'xla' (env-minor batched), 'pallas' (batched + fused
         # Pallas dynamics kernel, TPU default — ~8x faster substep).
         if physics_backend == "auto":
-            physics_backend = ("pallas" if jax.default_backend() == "tpu"
-                               else "vmap")
+            import os as _os
+            physics_backend = _os.environ.get(
+                "WTW_PHYSICS_BACKEND",
+                "pallas" if jax.default_backend() == "tpu" else "vmap")
         self.physics_backend = physics_backend
         self.cfg = cfg
         self.model = model
         self.hf = heightfield if heightfield is not None else flat_heightfield()
         self.num_envs = cfg.env.num_envs
+        # eval split: the LAST num_eval_envs envs (base_task.py:43-46)
+        self.num_eval_envs = min(cfg.env.num_eval_envs, cfg.env.num_envs - 1)
+        self.num_train_envs = self.num_envs - self.num_eval_envs
         self.num_obs = cfg.env.num_observations
         self.num_privileged_obs = cfg.env.num_privileged_obs
         self.num_actions = cfg.env.num_actions
@@ -697,9 +702,20 @@ class LeggedEnv:
         world = world.replace(env=env, gravity_offset=grav_offset)
 
         # ---- episode metrics captured before reset wipes the sums ----
-        n_reset = jnp.sum(reset)
+        # split train/eval env populations (ppo_cse/__init__.py:156-180).
+        # Proportional per-shard split: under shard_map each shard sees
+        # B = num_envs / n_dev rows and takes its own trailing eval slice.
+        B_loc = reset.shape[0]
+        n_tr_loc = B_loc * self.num_train_envs // self.num_envs
+        is_train = (jnp.arange(B_loc) < n_tr_loc)
+        reset_tr = reset & is_train
+        reset_ev = reset & ~is_train
+        n_reset = jnp.sum(reset_tr)
         ep_sums_at_reset = jnp.sum(
-            jnp.where(reset[:, None], episode_sums, 0.0), axis=0)
+            jnp.where(reset_tr[:, None], episode_sums, 0.0), axis=0)
+        n_reset_ev = jnp.sum(reset_ev)
+        ep_sums_at_reset_ev = jnp.sum(
+            jnp.where(reset_ev[:, None], episode_sums, 0.0), axis=0)
 
         # ---- masked reset (replaces reset_idx, legged_robot.py:150-239) ----
         world = self._reset_envs(world, reset)
@@ -729,9 +745,13 @@ class LeggedEnv:
             "env_bins": env.env_bin,
             "episode_sums_at_reset": ep_sums_at_reset,
             "num_resets": n_reset,
+            "eval_episode_sums_at_reset": ep_sums_at_reset_ev,
+            "eval_num_resets": n_reset_ev,
             "curriculum_weights_mean": jnp.mean(world.curriculum.weights,
                                                 axis=-1),
-            "mean_episode_length": jnp.mean(env.episode_length.astype(jnp.float32)),
+            "mean_episode_length": jnp.sum(jnp.where(
+                is_train, env.episode_length.astype(jnp.float32), 0.0))
+            / max(n_tr_loc, 1),
             "command_ranges": jnp.stack([
                 jnp.min(env.commands[:, 0]), jnp.max(env.commands[:, 0]),
                 jnp.min(env.commands[:, 2]), jnp.max(env.commands[:, 2])]),

@@ -272,8 +272,10 @@ class ParkourEnv:
         self.axis_name = axis_name
         # see LeggedEnv: 'vmap' on CPU, fused-Pallas batched engine on TPU
         if physics_backend == "auto":
-            physics_backend = ("pallas" if jax.default_backend() == "tpu"
-                               else "vmap")
+            import os as _os
+            physics_backend = _os.environ.get(
+                "WTW_PHYSICS_BACKEND",
+                "pallas" if jax.default_backend() == "tpu" else "vmap")
         self.physics_backend = physics_backend
         self.num_envs = cfg.num_envs
         self.num_actions = cfg.num_actions

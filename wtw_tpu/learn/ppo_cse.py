@@ -41,6 +41,9 @@ class PPOArgs:
     max_grad_norm: float = 1.0
     # RunnerArgs (ppo_cse/__init__.py:46)
     num_steps_per_env: int = 24
+    # eval envs act with the teacher (true privileged obs) instead of the
+    # student policy (ppo_cse/__init__.py:139-145 eval_expert)
+    eval_expert: bool = False
     # Stabilization addition (NOT in the reference): clamp the learned
     # per-dim policy std after each update. In the near-zero-reward early
     # phase of the MoB recipe (ji22 exp rewards ~1e-6), the entropy bonus
@@ -150,15 +153,36 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
             logp = ac.log_prob(mean, std, actions)
             values = ac.evaluate(ts.params, obs_h, obs_dict["privileged_obs"],
                                  ac_args)
-            world, next_obs, rew, done, info = env.step(world, actions)
+            # train/eval env split (ppo_cse/__init__.py:136-146): the
+            # trailing eval slice acts with the (sampled) student by default
+            # — identical actions, so no extra compute — or the teacher when
+            # eval_expert; only the train slice enters the PPO batch.
+            B = obs_h.shape[0]
+            n_tr = B * env.num_train_envs // env.num_envs
+            if n_tr < B and args.eval_expert:
+                t_mean = ac.act_teacher(ts.params, obs_h[n_tr:],
+                                        obs_dict["privileged_obs"][n_tr:],
+                                        ac_args)
+                exec_actions = jnp.concatenate(
+                    [actions[:n_tr],
+                     ac.sample_actions(k_act, t_mean, std[n_tr:])], axis=0)
+            else:
+                exec_actions = actions
+            world, next_obs, rew, done, info = env.step(world, exec_actions)
             # timeout bootstrapping (ppo.py:84-86)
             rew_b = rew + args.gamma * values * info["time_outs"]
+            tr_slice = lambda x: x[:n_tr]
             tr = Transition(
-                obs=obs_dict["obs"], privileged_obs=obs_dict["privileged_obs"],
-                obs_history=obs_h, actions=actions, rewards=rew_b,
-                dones=done, values=values, log_probs=logp, mu=mean, sigma=std)
+                obs=tr_slice(obs_dict["obs"]),
+                privileged_obs=tr_slice(obs_dict["privileged_obs"]),
+                obs_history=tr_slice(obs_h), actions=tr_slice(actions),
+                rewards=tr_slice(rew_b), dones=tr_slice(done),
+                values=tr_slice(values), log_probs=tr_slice(logp),
+                mu=tr_slice(mean), sigma=tr_slice(std))
             metrics = (info["episode_sums_at_reset"], info["num_resets"],
-                       rew, info["mean_episode_length"])
+                       rew[:n_tr], info["mean_episode_length"],
+                       info["eval_episode_sums_at_reset"],
+                       info["eval_num_resets"])
             return (key, world, next_obs), (tr, metrics)
 
         key, k_roll = jax.random.split(ts.key)
@@ -210,8 +234,10 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
 
     def update(ts: TrainState, traj, last_obs_dict):
         T, N = traj.rewards.shape
-        last_values = ac.evaluate(ts.params, last_obs_dict["obs_history"],
-                                  last_obs_dict["privileged_obs"], ac_args)
+        last_values = ac.evaluate(ts.params,
+                                  last_obs_dict["obs_history"][:N],
+                                  last_obs_dict["privileged_obs"][:N],
+                                  ac_args)
         advs, returns = compute_gae(traj.rewards, traj.dones, traj.values,
                                     last_values, args.gamma, args.lam)
 
@@ -280,16 +306,20 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
     def train_iteration(ts: TrainState, world, obs_dict):
         ts, world, obs_dict, traj, metrics = rollout(ts, world, obs_dict)
         ts, stats = update(ts, traj, obs_dict)
-        ep_sums, n_resets, rews, mean_ep_len = metrics
+        ep_sums, n_resets, rews, mean_ep_len, ep_sums_ev, n_resets_ev = metrics
         total_resets = _psum(jnp.sum(n_resets))
+        total_resets_ev = _psum(jnp.sum(n_resets_ev))
         stats = {k: _pmean(v) for k, v in stats.items()}
         stats.update({
             # mean per-episode reward sums over episodes finished this iter,
-            # per term + total (the train/episode/rew_* metrics,
-            # ppo_cse/__init__.py:156-162)
+            # per term + total, split train/eval (the train/episode/* and
+            # eval/episode/* metrics, ppo_cse/__init__.py:156-180)
             "episode_reward_sums": _psum(jnp.sum(ep_sums, axis=0))
             / jnp.maximum(total_resets, 1),
             "num_episodes": total_resets,
+            "eval_episode_reward_sums": _psum(jnp.sum(ep_sums_ev, axis=0))
+            / jnp.maximum(total_resets_ev, 1),
+            "eval_num_episodes": total_resets_ev,
             "mean_step_reward": _pmean(jnp.mean(rews)),
             "mean_episode_length": _pmean(mean_ep_len[-1]),
         })

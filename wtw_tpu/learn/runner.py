@@ -33,6 +33,9 @@ class RunnerArgs:
     run_dir: str = "runs/default"
     resume: bool = False
     resume_path: Optional[str] = None
+    # live observability: TensorBoard event files under <run_dir>/tb — the
+    # analog of the reference's ml_dash dashboard (ppo_cse/__init__.py:108-229)
+    tensorboard: bool = True
     # jax.profiler trace of iterations [profile_start, profile_start+
     # profile_iters) into <run_dir>/profile (SURVEY.md §5.1; the reference
     # has no profiling hooks)
@@ -64,6 +67,15 @@ class Runner:
                     exist_ok=True)
         self._csv_path = os.path.join(runner_args.run_dir, "metrics.csv")
         self._csv_keys = None
+        self._tb = None
+        if runner_args.tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(
+                    os.path.join(runner_args.run_dir, "tb"))
+            except Exception:
+                pass                       # torch/tensorboard absent: CSV only
+        self._it_offset = 0
         if runner_args.resume and runner_args.resume_path:
             self.load(runner_args.resume_path)
 
@@ -73,7 +85,8 @@ class Runner:
         ra = self.runner_args
         t_start = time.time()
         steps_per_iter = self.args.num_steps_per_env * self.env.num_envs
-        for it in range(num_learning_iterations):
+        it0 = int(jax.device_get(self.ts.iteration))  # resume-aware numbering
+        for it in range(it0, it0 + num_learning_iterations):
             t0 = time.time()
             if it == ra.profile_start:
                 jax.profiler.start_trace(
@@ -85,7 +98,8 @@ class Runner:
                 jax.block_until_ready(stats["loss"])
                 jax.profiler.stop_trace()
                 log_fn(f"profiler trace -> {ra.run_dir}/profile")
-            if (it % ra.log_freq == 0) or it == num_learning_iterations - 1:
+            if (it % ra.log_freq == 0) or \
+                    it == it0 + num_learning_iterations - 1:
                 stats = jax.device_get(stats)
                 dt_iter = time.time() - t0
                 row = {
@@ -105,7 +119,19 @@ class Runner:
                 for i, name in enumerate(self.env.reward_names):
                     row[f"rew_{name}"] = float(ep[i])
                 row["rew_total"] = float(ep[-1])
+                # eval/episode/* stream (ppo_cse/__init__.py:163-180)
+                if getattr(self.env, "num_eval_envs", 0) > 0 and \
+                        "eval_episode_reward_sums" in stats:
+                    epe = np.asarray(stats["eval_episode_reward_sums"])
+                    row["eval_rew_total"] = float(epe[-1])
+                    row["eval_num_episodes"] = float(
+                        stats["eval_num_episodes"])
                 self._write_csv(row)
+                if self._tb is not None:
+                    for k, v in row.items():
+                        if k != "iteration":
+                            self._tb.add_scalar(k, v, it)
+                    self._tb.flush()
                 log_fn(f"it {it:6d} | {row['steps_per_s']:.0f} steps/s | "
                        f"rew {row['mean_step_reward']:.4f} | "
                        f"ep_rew {row['rew_total']:.2f} | "
