@@ -337,6 +337,7 @@ class UdpLcm {
 struct JointState {
   double q[12], qd[12], tau_est[12];
   float rpy[3]{}, quat[4]{0, 0, 0, 1}, contact[4]{};
+  float gyro[3]{}, accel[3]{};
 };
 
 class Backend {
@@ -345,6 +346,8 @@ class Backend {
   virtual void read(JointState& s) = 0;
   // Apply PD targets; implementations clamp to safe ranges.
   virtual void command(const PdTauTargets& t) = 0;
+  // RC/joystick passthrough (hardware backends fill from wirelessRemote)
+  virtual void fill_rc(RcCommandMsg&) {}
 };
 
 // Self-contained per-joint dynamics for CI / hardware-in-the-loop testing:
@@ -384,9 +387,84 @@ class SimBackend : public Backend {
 };
 
 #ifdef USE_UNITREE_SDK
-// Integration point for the external unitree_legged_sdk (same role as the
-// reference's UDP(LOWLEVEL) + Safety objects, lcm_position.cpp:20-33).
-class UnitreeBackend : public Backend { /* links unitree_legged_sdk */ };
+// Real-hardware backend over the unitree_legged_sdk (the reference's
+// UDP(LOWLEVEL)+Safety pair, lcm_position.cpp:20-33,199-210). Built by
+// `make sdk` against cpp/unitree_sdk_stub (CI compile check); on the robot,
+// point the include/lib path at the vendor SDK instead.
+#include "unitree_legged_sdk/unitree_legged_sdk.h"
+class UnitreeBackend : public Backend {
+ public:
+  UnitreeBackend()
+      : safe_(UNITREE_LEGGED_SDK::LeggedType::Go1),
+        udp_(UNITREE_LEGGED_SDK::LOWLEVEL, 8090, "192.168.123.10", 8007) {
+    udp_.InitCmdData(cmd_);
+  }
+  void read(JointState& s) override {
+    std::lock_guard<std::mutex> lk(mu_);
+    udp_.Recv();
+    udp_.GetRecv(state_);
+    for (int i = 0; i < 12; ++i) {
+      s.q[i] = state_.motorState[i].q;
+      s.qd[i] = state_.motorState[i].dq;
+      s.tau_est[i] = state_.motorState[i].tauEst;
+    }
+    for (int i = 0; i < 3; ++i) {
+      s.rpy[i] = state_.imu.rpy[i];
+      s.gyro[i] = state_.imu.gyroscope[i];
+      s.accel[i] = state_.imu.accelerometer[i];
+    }
+    for (int i = 0; i < 4; ++i) {
+      s.quat[i] = state_.imu.quaternion[i];
+      s.contact[i] = (float)state_.footForce[i];
+    }
+  }
+  void command(const PdTauTargets& t) override {
+    std::lock_guard<std::mutex> lk(mu_);
+    for (int i = 0; i < 12; ++i) {
+      cmd_.motorCmd[i].q = (float)t.q_des[i];
+      cmd_.motorCmd[i].dq = (float)t.qd_des[i];
+      cmd_.motorCmd[i].Kp = (float)t.kp[i];
+      cmd_.motorCmd[i].Kd = (float)t.kd[i];
+      cmd_.motorCmd[i].tau = (float)t.tau_ff[i];
+    }
+    // vendor safety envelope + power limit 9 (lcm_position.cpp:207-208)
+    safe_.PositionLimit(cmd_);
+    safe_.PowerProtect(cmd_, state_, 9);
+    udp_.SetSend(cmd_);
+    udp_.Send();
+  }
+  void fill_rc(RcCommandMsg& rc) override {
+    std::lock_guard<std::mutex> lk(mu_);
+    UNITREE_LEGGED_SDK::xRockerBtnDataStruct key;
+    std::memcpy(&key, &state_.wirelessRemote[0], 40);
+    rc.left_stick[0] = key.lx;
+    rc.left_stick[1] = key.ly;
+    rc.right_stick[0] = key.rx;
+    rc.right_stick[1] = key.ry;
+    rc.right_lower_right_switch = key.btn.components.R2;
+    rc.right_upper_switch = key.btn.components.R1;
+    rc.left_lower_left_switch = key.btn.components.L2;
+    rc.left_upper_switch = key.btn.components.L1;
+    // mode buttons (lcm_position.cpp:148-165)
+    if (key.btn.components.A) mode_ = 0;
+    else if (key.btn.components.B) mode_ = 1;
+    else if (key.btn.components.X) mode_ = 2;
+    else if (key.btn.components.Y) mode_ = 3;
+    else if (key.btn.components.up) mode_ = 4;
+    else if (key.btn.components.right) mode_ = 5;
+    else if (key.btn.components.down) mode_ = 6;
+    else if (key.btn.components.left) mode_ = 7;
+    rc.mode = mode_;
+  }
+
+ private:
+  std::mutex mu_;
+  UNITREE_LEGGED_SDK::Safety safe_;
+  UNITREE_LEGGED_SDK::UDP udp_;
+  UNITREE_LEGGED_SDK::LowCmd cmd_{};
+  UNITREE_LEGGED_SDK::LowState state_{};
+  int mode_ = 0;
+};
 #endif
 
 // ---------------------------------------------------------------------
@@ -414,7 +492,13 @@ int main(int argc, char** argv) {
   }
 
   UdpLcm lcm(addr, port);
-  SimBackend backend;
+  SimBackend sim_backend;
+  Backend* backend_p = &sim_backend;
+#ifdef USE_UNITREE_SDK
+  UnitreeBackend hw_backend;
+  if (!sim) backend_p = &hw_backend;
+#endif
+  Backend& backend = *backend_p;
 
   std::mutex cmd_mu;
   PdTauTargets latest_cmd;
@@ -478,7 +562,11 @@ int main(int argc, char** argv) {
     lcm.publish("leg_control_data", wl);
 
     StateEstimatorMsg se;
-    for (int i = 0; i < 3; ++i) se.rpy[i] = s.rpy[i];
+    for (int i = 0; i < 3; ++i) {
+      se.rpy[i] = s.rpy[i];
+      se.omegaBody[i] = s.gyro[i];
+      se.aBody[i] = s.accel[i];
+    }
     for (int i = 0; i < 4; ++i) {
       se.quat[i] = s.quat[i];
       se.contact_estimate[i] = s.contact[i];
@@ -490,6 +578,7 @@ int main(int argc, char** argv) {
 
     if (iter % 10 == 0) {  // RC at 50 Hz like the reference (:184-189)
       RcCommandMsg rc;
+      backend.fill_rc(rc);
       Writer wr;
       rc.encode(wr);
       lcm.publish("rc_command", wr);

@@ -44,6 +44,12 @@ class PPOArgs:
     # eval envs act with the teacher (true privileged obs) instead of the
     # student policy (ppo_cse/__init__.py:139-145 eval_expert)
     eval_expert: bool = False
+    # Sharding-invariant mode: action noise from per-env RNG streams and
+    # env-strided minibatches, so an n-device env-sharded run computes the
+    # SAME training trajectory as the single-device run (asserted by
+    # tests/test_parallel.py). Default off = reference semantics (one global
+    # permutation over T*N, rollout_storage.py:100-139).
+    sharding_invariant: bool = False
     # Stabilization addition (NOT in the reference): clamp the learned
     # per-dim policy std after each update. In the near-zero-reward early
     # phase of the MoB recipe (ji22 exp rewards ~1e-6), the entropy bonus
@@ -105,8 +111,11 @@ def init_train_state(key: jax.Array, env, args: PPOArgs,
     )
 
 
-def compute_gae(rewards, dones, values, last_values, gamma, lam):
-    """rollout_storage.py:76-90. rewards/dones/values: (T, N)."""
+def compute_gae(rewards, dones, values, last_values, gamma, lam,
+                pmean=lambda x: x):
+    """rollout_storage.py:76-90. rewards/dones/values: (T, N). pmean:
+    cross-shard mean so the advantage moments are GLOBAL-batch under
+    env sharding (matching the reference's full-batch normalization)."""
     def body(carry, xs):
         adv_next, v_next = carry
         rew, done, val = xs
@@ -120,7 +129,9 @@ def compute_gae(rewards, dones, values, last_values, gamma, lam):
         (rewards, dones.astype(jnp.float32), values), reverse=True)
     returns = advs + values
     # advantage normalization (rollout_storage.py:88-90)
-    advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+    mean = pmean(advs.mean())
+    var = pmean(jnp.mean((advs - mean) ** 2))
+    advs = (advs - mean) / (jnp.sqrt(var) + 1e-8)
     return advs, returns
 
 
@@ -149,7 +160,16 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
             key, k_act = jax.random.split(key)
             obs_h = obs_dict["obs_history"]
             mean, std = ac.distribution(ts.params, obs_h, ac_args)
-            actions = ac.sample_actions(k_act, mean, std)
+            if args.sharding_invariant:
+                # per-env noise streams: identical draws per env no matter
+                # how the env axis is sharded across devices
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, 29), (mean.shape[-1],)))(
+                    world.env.rng)
+                actions = mean + std * noise
+            else:
+                actions = ac.sample_actions(k_act, mean, std)
             logp = ac.log_prob(mean, std, actions)
             values = ac.evaluate(ts.params, obs_h, obs_dict["privileged_obs"],
                                  ac_args)
@@ -223,10 +243,11 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
             axis=-1).mean()
         return loss, (surrogate_loss, v_loss, kl)
 
-    def adaptation_loss_fn(params, obs_h, priv):
+    def adaptation_loss_fn(params, obs_h, priv, n_train=None):
         pred = ac.adaptation_module(params, obs_h, ac_args)
         B = pred.shape[0]
-        n_train = max(1, (B // 5) * 4)   # 80/20 split (ppo.py:163-183)
+        if n_train is None:
+            n_train = max(1, (B // 5) * 4)   # 80/20 split (ppo.py:163-183)
         train_loss = jnp.mean((pred[:n_train] - priv[:n_train]) ** 2)
         test_loss = (jnp.mean((pred[n_train:] - priv[n_train:]) ** 2)
                      if n_train < B else train_loss)
@@ -239,7 +260,8 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
                                   last_obs_dict["privileged_obs"][:N],
                                   ac_args)
         advs, returns = compute_gae(traj.rewards, traj.dones, traj.values,
-                                    last_values, args.gamma, args.lam)
+                                    last_values, args.gamma, args.lam,
+                                    pmean=_pmean)
 
         flat = lambda x: x.reshape((T * N,) + x.shape[2:])
         data = (flat(traj.obs_history), flat(traj.privileged_obs),
@@ -249,6 +271,18 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
         key, k_perm = jax.random.split(ts.key)
         perm = jax.random.permutation(k_perm, T * N)
         mb_size = T * N // args.num_mini_batches
+
+        if args.sharding_invariant:
+            # env-strided minibatches: env n -> minibatch n % M. Every shard
+            # contributes an equal share to each minibatch, so pmean'd
+            # gradients equal the unsharded global-batch gradients exactly.
+            import numpy as _np
+            M = args.num_mini_batches
+            assert N % M == 0, "env count per shard must divide minibatches"
+            base = _np.arange(T * N).reshape(T, N)
+            perm = jnp.concatenate(
+                [jnp.asarray(base[:, mth::M].reshape(-1))
+                 for mth in range(M)])
 
         def minibatch_step(carry, idx):
             params, opt_state, adapt_opt_state, lr = carry
@@ -270,11 +304,17 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
                 params = {**params, "std": jnp.clip(
                     params["std"], args.std_range[0], args.std_range[1])}
 
-            # adaptation-module supervised substep (ppo.py:166-189)
+            # adaptation-module supervised substep (ppo.py:166-189); in
+            # sharding-invariant mode the 80/20 split is timestep-aligned so
+            # per-shard subsets union to exactly the global subsets
+            B_mb = batch[0].shape[0]
+            n_tr_ad = ((T * 4 // 5) * (B_mb // T)
+                       if args.sharding_invariant else None)
             a_losses = []
             for _ in range(args.num_adaptation_module_substeps):
                 (a_loss, a_test), a_grads = jax.value_and_grad(
-                    adaptation_loss_fn, has_aux=True)(params, batch[0], batch[1])
+                    adaptation_loss_fn, has_aux=True)(
+                    params, batch[0], batch[1], n_tr_ad)
                 a_grads = jax.tree.map(_pmean, a_grads)
                 a_updates, adapt_opt_state = adapt_tx.update(
                     a_grads, adapt_opt_state, params)
