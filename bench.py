@@ -35,6 +35,7 @@ def main():
     if args_cli.mode == "scaling":
         return bench_scaling(args_cli)
 
+    import wtw_tpu; wtw_tpu.enable_compilation_cache()
     from wtw_tpu.config import go1_mob_config
     from wtw_tpu.envs import LeggedEnv
     from wtw_tpu.learn import PPOArgs

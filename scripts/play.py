@@ -39,6 +39,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    import wtw_tpu; wtw_tpu.enable_compilation_cache()
     from wtw_tpu.config import PRESETS
     from wtw_tpu.envs import make_legged_env
     from wtw_tpu.learn.eval_metrics import DR_SWEEPS, base_set, evaluate_policy

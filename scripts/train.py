@@ -39,8 +39,16 @@ def main():
                          "runner.save_interval=1000 (Hydra-override analog, "
                          "cfg/config.yaml:61-65)")
     ap.add_argument("--save-interval", type=int, default=400)
+    ap.add_argument("--algo", default="ppo_cse", choices=["ppo_cse", "rma"],
+                    help="rma = the reference's go1_gym_learn/ppo/ teacher-"
+                         "student RMA variant (env-factor encoder)")
+    ap.add_argument("--pbt", type=int, default=0, metavar="N",
+                    help="population-based training with N members "
+                         "(vmapped population; exceeds the reference's "
+                         "disabled PBT hook)")
     args = ap.parse_args()
 
+    import wtw_tpu; wtw_tpu.enable_compilation_cache()
     from wtw_tpu import config as C
     from wtw_tpu.envs import make_legged_env
     from wtw_tpu.learn import PPOArgs, Runner, RunnerArgs
@@ -71,6 +79,37 @@ def main():
         from wtw_tpu.envs.wrappers import ActuatorModelWrapper
         env = ActuatorModelWrapper(env)
     run_dir = args.run_dir or f"runs/{args.preset}/seed{args.seed}"
+    print(f"preset={args.preset} robot={robot} envs={cfg.env.num_envs} "
+          f"obs={cfg.env.num_observations} algo={args.algo}"
+          f"{f' pbt={args.pbt}' if args.pbt else ''} -> {run_dir}")
+
+    if args.pbt:
+        from wtw_tpu.learn.pbt import PBTArgs, train_pbt
+        train_pbt(env, ppo_args, PBTArgs(population=args.pbt),
+                  args.iterations, seed=args.seed, log_freq=args.log_freq)
+        return
+
+    if args.algo == "rma":
+        import pickle
+        import jax
+        from wtw_tpu.learn import ppo_rma
+        key = jax.random.PRNGKey(args.seed)
+        k_env, k_train = jax.random.split(key)
+        world = env.init_state(k_env)
+        world, obs_dict = env.get_observations(world)
+        ts = ppo_rma.init_train_state(k_train, env, ppo_args)
+        train = jax.jit(ppo_rma.make_train_fn(env, ppo_args))
+        os.makedirs(run_dir, exist_ok=True)
+        for it in range(args.iterations):
+            ts, world, obs_dict, stats = train(ts, world, obs_dict)
+            if it % args.log_freq == 0 or it == args.iterations - 1:
+                print(f"it {it:6d} | rew {float(stats['mean_step_reward']):.4f}"
+                      f" | vloss {float(stats['value_loss']):.4f}"
+                      f" | adapt {float(stats['adaptation_loss']):.5f}")
+        with open(os.path.join(run_dir, "rma_state.pkl"), "wb") as f:
+            pickle.dump(jax.device_get(ts), f)
+        return
+
     runner_args = C.apply_overrides(
         RunnerArgs(run_dir=run_dir, log_freq=args.log_freq,
                    save_interval=args.save_interval,
@@ -78,8 +117,6 @@ def main():
                    resume_path=args.resume), run_sets)
     runner = Runner(env, args=ppo_args, runner_args=runner_args,
                     seed=args.seed)
-    print(f"preset={args.preset} robot={robot} envs={cfg.env.num_envs} "
-          f"obs={cfg.env.num_observations} -> {run_dir}")
     runner.learn(args.iterations)
 
 

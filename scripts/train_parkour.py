@@ -61,6 +61,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    import wtw_tpu; wtw_tpu.enable_compilation_cache()
     from wtw_tpu.envs.parkour_env import ParkourCfg, ParkourEnv
     from wtw_tpu.learn.cat_ppo import (CatPPOArgs, init_train_state,
                                        make_train_fn, rms_norm, rms_update)

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def build_env(num_envs, seed):
+    import wtw_tpu; wtw_tpu.enable_compilation_cache()
     from wtw_tpu.envs.parkour_env import ParkourCfg, ParkourEnv
     from wtw_tpu.models import load_robot
     cfg = ParkourCfg(num_envs=num_envs)

@@ -25,3 +25,15 @@ over the env axis, ``lax.scan`` over time, ``jit`` over rollout+update.
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str = "/tmp/wtw_jax_cache"):
+    """Persistent XLA compilation cache: restarts of the same program (e.g.
+    exact-resume training sessions, bench re-runs) skip the 1-2 min TPU
+    compile. Called by the train/bench CLIs; library users opt in."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass

@@ -86,6 +86,7 @@ class Runner:
         t_start = time.time()
         steps_per_iter = self.args.num_steps_per_env * self.env.num_envs
         it0 = int(jax.device_get(self.ts.iteration))  # resume-aware numbering
+        last_log_it, last_log_t = it0 - 1, t_start
         for it in range(it0, it0 + num_learning_iterations):
             t0 = time.time()
             if it == ra.profile_start:
@@ -101,7 +102,13 @@ class Runner:
             if (it % ra.log_freq == 0) or \
                     it == it0 + num_learning_iterations - 1:
                 stats = jax.device_get(stats)
-                dt_iter = time.time() - t0
+                # rate over the whole span since the last log (iterations
+                # dispatch asynchronously; the log step alone absorbs the
+                # device_get sync and would read misleadingly slow)
+                now = time.time()
+                span = max(it - last_log_it, 1)
+                dt_iter = (now - last_log_t) / span
+                last_log_it, last_log_t = it, now
                 row = {
                     "iteration": it,
                     "steps_per_s": steps_per_iter / dt_iter,

@@ -772,22 +772,28 @@ def _pallas_dynamics(st: _Static, inputs: Dict, B: int):
 
     def prep(x):
         x = jnp.asarray(x, jnp.float32)
-        lead = x.shape[:-1]
-        x = jnp.broadcast_to(x, lead + (B,))
-        if Bp != B:
-            pad = jnp.broadcast_to(x[..., -1:], lead + (Bp - B,))
-            x = jnp.concatenate([x, pad], axis=-1)
-        return x.reshape(lead + (G * _SUB, _LANE))
+        return jnp.broadcast_to(x, x.shape[:-1] + (B,))
 
     prepped = [prep(x) for x in in_leaves]
-    lead_shapes = sorted({p.shape[:-2] for p in prepped})
+    lead_shapes = sorted({p.shape[:-1] for p in prepped})
     buckets = {ls: [] for ls in lead_shapes}
     leaf_slot = []                       # leaf i -> (lead_shape, row)
     for p in prepped:
-        ls = p.shape[:-2]
+        ls = p.shape[:-1]
         leaf_slot.append((ls, len(buckets[ls])))
         buckets[ls].append(p)
-    packed = {ls: jnp.stack(buckets[ls]) for ls in lead_shapes}
+
+    def pack(arrs, ls):
+        # stack first, pad the batch dim ONCE per bucket (padding per leaf
+        # bloats the graph by ~2 ops x 230 leaves -> pathological compiles)
+        a = jnp.stack(arrs)              # (n, *ls, B)
+        if Bp != B:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[..., -1:], a.shape[:-1] + (Bp - B,))],
+                axis=-1)
+        return a.reshape((len(arrs),) + ls + (G * _SUB, _LANE))
+
+    packed = {ls: pack(buckets[ls], ls) for ls in lead_shapes}
     # packed[ls]: (n, *ls, G*SUB, LANE)
 
     # discover output structure abstractly (no eager work at trace time)
@@ -800,7 +806,7 @@ def _pallas_dynamics(st: _Static, inputs: Dict, B: int):
         probe_spec["n"] = len(leaves)
         return leaves
 
-    jax.eval_shape(_probe, [jax.ShapeDtypeStruct(p.shape[:-2] + (1, 1),
+    jax.eval_shape(_probe, [jax.ShapeDtypeStruct(p.shape[:-1] + (1, 1),
                                                  jnp.float32)
                             for p in prepped])
     out_rebuild_fn = probe_spec["rebuild"]
