@@ -208,6 +208,7 @@ class ParkourEnvState:
     last_actions: jnp.ndarray
     last_last_actions: jnp.ndarray   # terrain action_rate 2nd diff (:1058)
     last_joint_qd: jnp.ndarray       # joint_acc reward (:1047)
+    last_base_lin_vel: jnp.ndarray   # (3,) world; imu accel obs (:864-868)
     torques: jnp.ndarray
     # gait clock (terrain task, go2_terrain.py:582-611)
     gait_index: jnp.ndarray
@@ -420,6 +421,7 @@ class ParkourEnv:
                 commands=self._sample_commands(k2),
                 actions=zero_j, last_actions=zero_j,
                 last_last_actions=zero_j, last_joint_qd=zero_j,
+                last_base_lin_vel=jnp.zeros(3),
                 torques=zero_j,
                 gait_index=jnp.float32(0.0), clock_inputs=jnp.zeros(4),
                 foot_indices=jnp.zeros(4),
@@ -841,7 +843,8 @@ class ParkourEnv:
 
         env = env.replace(last_last_actions=env.last_actions,
                           last_actions=env.actions,
-                          last_joint_qd=env.phys.joint_qd)
+                          last_joint_qd=env.phys.joint_qd,
+                          last_base_lin_vel=env.phys.base_lin_vel)
         world = ParkourWorld(env=env, cat=cat_state,
                              soft_p_progress=soft_p_progress,
                              hist_obs=hist, common_step=common_step)
@@ -1066,7 +1069,13 @@ class ParkourEnv:
                   + phases_off[None, :])
             blocks.append(jnp.concatenate([jnp.cos(ph), jnp.sin(ph)], -1))
         if cfg.observe_imu:
-            blocks.append(jnp.zeros((phys.base_pos.shape[0], 3)))
+            # base proper acceleration: the reference reads a base force
+            # sensor (net force / mass, zero at rest, go2_terrain.py:864-868);
+            # the analytic-engine analog is the finite-difference world
+            # acceleration of the base, rotated into the body frame
+            accel_w = (phys.base_lin_vel - env.last_base_lin_vel) / self.dt
+            blocks.append(quat_util.quat_rotate_inverse(
+                phys.base_quat, accel_w) * cfg.imu_scale)
         if cfg.observe_clock_inputs:
             blocks.append(env.clock_inputs)
         obs = jnp.concatenate(blocks, axis=-1)
