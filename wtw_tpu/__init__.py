@@ -30,7 +30,11 @@ __version__ = "0.1.0"
 def enable_compilation_cache(path: str = "/tmp/wtw_jax_cache"):
     """Persistent XLA compilation cache: restarts of the same program (e.g.
     exact-resume training sessions, bench re-runs) skip the 1-2 min TPU
-    compile. Called by the train/bench CLIs; library users opt in."""
+    compile. OPT-IN via WTW_COMPILE_CACHE=1: the axon remote-AOT TPU path
+    in this image stalls when executable serialization is requested."""
+    import os
+    if os.environ.get("WTW_COMPILE_CACHE") != "1":
+        return
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", path)
