@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--log-freq", type=int, default=10)
     ap.add_argument("--save-interval", type=int, default=400)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="ParkourCfg override, e.g. --set only_forwards=true"
+                         " --set terrain.num_levels=6")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +85,8 @@ def main():
         terrain=ParkourTerrainCfg(
             proportions=TERRAIN_PRESETS[args.terrain],
             easy_mode=args.easy_mode), **extra)
+    from wtw_tpu.config import apply_overrides
+    cfg = apply_overrides(cfg, args.set)
     env = ParkourEnv(cfg, load_robot(cfg.robot), seed=args.seed)
     if args.algo == "ppo_plus":
         from wtw_tpu.learn import cat_ppo_plus as algo_mod

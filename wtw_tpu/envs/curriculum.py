@@ -126,7 +126,10 @@ def sample_commands(grid: CurriculumGrid, state: CurriculumState,
     cdf = jnp.cumsum(w)
     k1, k2 = jax.random.split(key)
     r = jax.random.uniform(k1) * cdf[-1]
-    bin_idx = jnp.searchsorted(cdf, r, side="right")
+    # searchsorted(cdf, r, 'right') as a compare+sum: under vmap, XLA lowers
+    # batched searchsorted to a while loop over the 441-cell grid (~0.4 ms/
+    # step at 4096 envs — profiled); the dense compare fuses to ~10 us
+    bin_idx = jnp.sum((cdf <= r).astype(jnp.int32))
     bin_idx = jnp.clip(bin_idx, 0, w.shape[0] - 1)
     center = grid.centers[:, bin_idx]
     jitter = jax.random.uniform(k2, center.shape, minval=-0.5, maxval=0.5)

@@ -284,9 +284,17 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
                 [jnp.asarray(base[:, mth::M].reshape(-1))
                  for mth in range(M)])
 
-        def minibatch_step(carry, idx):
+        # permute the flattened rollout ONCE, then minibatch by contiguous
+        # dynamic slices: gathering each (24k, 2100) minibatch from HBM per
+        # epoch x minibatch cost ~30 ms/iteration (profiled); one permute +
+        # slices is the same batches in the same order for ~1 ms
+        data = tuple(d[perm] for d in data)
+
+        def minibatch_step(carry, mth):
             params, opt_state, adapt_opt_state, lr = carry
-            batch = tuple(d[idx] for d in data)
+            batch = tuple(
+                jax.lax.dynamic_slice_in_dim(d, mth * mb_size, mb_size)
+                for d in data)
             (loss, (surr, v_loss, kl)), grads = jax.value_and_grad(
                 ppo_loss, has_aux=True)(params, batch, lr)
             grads = jax.tree.map(_pmean, grads)
@@ -327,13 +335,12 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
                 loss, surr, v_loss, kl, a_loss, a_test)
 
         # one permutation reused across epochs (rollout_storage.py:100-139)
-        idxs = jnp.stack([perm[i * mb_size:(i + 1) * mb_size]
-                          for i in range(args.num_mini_batches)])
-        idxs = jnp.tile(idxs, (args.num_learning_epochs, 1))
+        mb_ids = jnp.tile(jnp.arange(args.num_mini_batches),
+                          (args.num_learning_epochs,))
 
         (params, opt_state, adapt_opt_state, lr), aux = jax.lax.scan(
             minibatch_step, (ts.params, ts.opt_state, ts.adapt_opt_state, ts.lr),
-            idxs)
+            mb_ids)
         loss, surr, v_loss, kl, a_loss, a_test = jax.tree.map(jnp.mean, aux)
         ts = ts.replace(params=params, opt_state=opt_state,
                         adapt_opt_state=adapt_opt_state, lr=lr, key=key,
