@@ -825,8 +825,10 @@ class ParkourEnv:
                                                 env.terrain_type]
                  + (1.0 - crawl2) * 0.4)
         obs_sample = self._build_obs(env, blv2, bav2, pg2, mh2, ceil2, cinfo)
-        # refresh history for just-reset envs (compute_observations :601-605)
-        resetted = env.progress == 0
+        # refresh history for just-reset envs (compute_observations :601-605;
+        # the reference's progress_buf==1 also covers the very first step
+        # after a global reset — common_step==1 here)
+        resetted = (env.progress == 0) | (common_step == 1)
         hist = jnp.where(
             resetted[:, None],
             jnp.tile(obs_sample, (1, self.hist_len)),
