@@ -29,6 +29,14 @@ def main():
     ap.add_argument("--sweep", default=None,
                     help="DR sweep preset (rand_regular, rand_large, ...)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--gait", default="trot",
+                    choices=["trot", "pace", "bound", "pronk"],
+                    help="commanded gait for 15-dim MoB policies (phase/"
+                         "offset/bound dims, scripts/go1/train.py command "
+                         "space)")
+    ap.add_argument("--freq", type=float, default=3.0,
+                    help="commanded step frequency (Hz)")
+    ap.add_argument("--footswing", type=float, default=0.08)
     ap.add_argument("--gait-stats", action="store_true",
                     help="measure duty factor / stride freq / trot phase")
     ap.add_argument("--video", default=None,
@@ -66,15 +74,20 @@ def main():
     if nc > 2:
         commands[2] = args.yaw
     if nc >= 15:
-        commands[4] = 3.0     # step frequency
-        commands[5] = 0.5     # trot phase
+        gait_cmd = {"trot": (0.5, 0.0, 0.0), "pace": (0.0, 0.5, 0.0),
+                    "bound": (0.0, 0.0, 0.5), "pronk": (0.0, 0.0, 0.0)}
+        commands[4] = args.freq                     # step frequency
+        commands[5:8] = gait_cmd[args.gait]         # phase/offset/bound
         commands[8] = 0.5     # duration
-        commands[9] = 0.08    # footswing height
+        commands[9] = args.footswing                # footswing height
         commands[12] = 0.25   # stance width
 
     summary, traces = evaluate_policy(env, policy, steps=args.steps,
                                       seed=args.seed, commands=commands)
     summary["commanded_vx"] = args.vx
+    if nc >= 15:
+        summary["commanded_gait"] = args.gait
+        summary["commanded_freq_hz"] = args.freq
     summary["sweep"] = args.sweep or "train-distribution"
     if args.gait_stats:
         from wtw_tpu.learn.eval_metrics import gait_stats

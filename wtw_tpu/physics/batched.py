@@ -833,6 +833,7 @@ def _pallas_dynamics(st: _Static, inputs: Dict, B: int):
             blk, lambda g, _n=nlead: (0,) * _n + (g, 0)))
         ops.append(packed[ls])
 
+    from jax.experimental.pallas import tpu as pltpu
     out = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -840,6 +841,11 @@ def _pallas_dynamics(st: _Static, inputs: Dict, B: int):
         out_specs=pl.BlockSpec((n_out, _SUB, _LANE), lambda g: (0, g, 0)),
         out_shape=jax.ShapeDtypeStruct((n_out, G * _SUB, _LANE),
                                        jnp.float32),
+        # the ceiling path doubles the contact set (Pa=2P); its live set
+        # peaks ~21 MB — above the 16 MB default scoped-vmem budget, well
+        # under the chip's VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(*ops)
 
