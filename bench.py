@@ -28,9 +28,20 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--mode", choices=["train", "env", "scaling"],
                     default="train")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="network GEMM compute dtype (params/opt stay fp32)")
     ap.add_argument("--devices", type=int, default=0,
                     help="scaling mode: devices to use (0 = all)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (pair with XLA_FLAGS="
+                         "--xla_force_host_platform_device_count=N for a "
+                         "virtual mesh; validates the distributed path "
+                         "mechanically — virtual devices share host cores, "
+                         "so the efficiency number is a lower bound)")
     args_cli = ap.parse_args()
+    if args_cli.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if args_cli.mode == "scaling":
         return bench_scaling(args_cli)
@@ -48,15 +59,17 @@ def main():
     cfg = go1_mob_config(num_envs=args_cli.num_envs)
     env = LeggedEnv(cfg, load_robot("go1"))
     ppo_args = PPOArgs()
+    from wtw_tpu.models.actor_critic import ACArgs
+    ac_args = ACArgs(compute_dtype=args_cli.dtype)
 
     world = env.init_state(jax.random.PRNGKey(0))
     world, obs_dict = env.get_observations(world)
-    ts = init_train_state(jax.random.PRNGKey(1), env, ppo_args)
+    ts = init_train_state(jax.random.PRNGKey(1), env, ppo_args, ac_args)
 
     steps_per_iter = ppo_args.num_steps_per_env * env.num_envs
 
     if args_cli.mode == "train":
-        fn = jax.jit(make_train_fns(env, ppo_args))
+        fn = jax.jit(make_train_fns(env, ppo_args, ac_args))
 
         def run_once(state):
             ts, world, obs_dict = state

@@ -39,6 +39,9 @@ def main():
                          "runner.save_interval=1000 (Hydra-override analog, "
                          "cfg/config.yaml:61-65)")
     ap.add_argument("--save-interval", type=int, default=400)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (e.g. to smoke-train while "
+                         "the TPU is held by another run)")
     ap.add_argument("--algo", default="ppo_cse", choices=["ppo_cse", "rma"],
                     help="rma = the reference's go1_gym_learn/ppo/ teacher-"
                          "student RMA variant (env-factor encoder)")
@@ -48,6 +51,9 @@ def main():
                          "disabled PBT hook)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import wtw_tpu; wtw_tpu.enable_compilation_cache()
     from wtw_tpu import config as C
     from wtw_tpu.envs import make_legged_env
@@ -63,15 +69,18 @@ def main():
             cfg, control=dataclasses.replace(cfg.control,
                                              control_type=args.control))
     # route --set overrides: 'ppo.*' -> PPOArgs, 'runner.*' -> RunnerArgs,
-    # rest -> the Cfg tree
+    # 'ac.*' -> ACArgs (e.g. ac.compute_dtype=bfloat16), rest -> the Cfg tree
+    from wtw_tpu.models.actor_critic import ACArgs
     ppo_args = PPOArgs()
     cfg_sets = [s for s in args.set
-                if not s.startswith(("ppo.", "runner."))]
+                if not s.startswith(("ppo.", "runner.", "ac."))]
     ppo_sets = [s[len("ppo."):] for s in args.set if s.startswith("ppo.")]
     run_sets = [s[len("runner."):] for s in args.set
                 if s.startswith("runner.")]
+    ac_sets = [s[len("ac."):] for s in args.set if s.startswith("ac.")]
     cfg = C.apply_overrides(cfg, cfg_sets)
     ppo_args = C.apply_overrides(ppo_args, ppo_sets)
+    ac_args = C.apply_overrides(ACArgs(), ac_sets)
 
     robot = cfg.asset.robot
     env = make_legged_env(cfg, seed=args.seed)
@@ -116,7 +125,7 @@ def main():
                    resume=args.resume is not None,
                    resume_path=args.resume), run_sets)
     runner = Runner(env, args=ppo_args, runner_args=runner_args,
-                    seed=args.seed)
+                    ac_args=ac_args, seed=args.seed)
     runner.learn(args.iterations)
 
 

@@ -192,10 +192,17 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
             # timeout bootstrapping (ppo.py:84-86)
             rew_b = rew + args.gamma * values * info["time_outs"]
             tr_slice = lambda x: x[:n_tr]
+            # with bf16 compute the stored history rides HBM at half width
+            # (the (T*N, 2100) buffer is the rollout's largest tensor); the
+            # GEMMs cast to bf16 anyway, so storage loses no precision the
+            # compute would have kept
+            h_dt = (jnp.bfloat16 if ac_args.compute_dtype == "bfloat16"
+                    else jnp.float32)
             tr = Transition(
                 obs=tr_slice(obs_dict["obs"]),
                 privileged_obs=tr_slice(obs_dict["privileged_obs"]),
-                obs_history=tr_slice(obs_h), actions=tr_slice(actions),
+                obs_history=tr_slice(obs_h).astype(h_dt),
+                actions=tr_slice(actions),
                 rewards=tr_slice(rew_b), dones=tr_slice(done),
                 values=tr_slice(values), log_probs=tr_slice(logp),
                 mu=tr_slice(mean), sigma=tr_slice(std))

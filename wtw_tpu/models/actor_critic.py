@@ -30,6 +30,13 @@ class ACArgs:
     critic_hidden_dims: Tuple[int, ...] = (512, 256, 128)
     adaptation_hidden_dims: Tuple[int, ...] = (256, 128)
     activation: str = "elu"
+    # Matmul compute dtype. "bfloat16" runs every layer's GEMM with bf16
+    # inputs and fp32 accumulation (preferred_element_type) — parameters,
+    # biases, activations and the optimizer stay fp32. On TPU this halves
+    # the HBM traffic of the dominant (batch, 2100)-input GEMMs and doubles
+    # the MXU rate; the reference trains the same math in torch fp32
+    # (actor_critic.py:19-147), so this is opt-in (default fp32).
+    compute_dtype: str = "float32"
 
 
 def _act(name):
@@ -52,10 +59,42 @@ def _init_mlp(key, sizes):
     return params
 
 
-def _apply_mlp(layers, x, activation):
+def _matmul(x, w, dtype):
+    if dtype == "float32":
+        return x.astype(jnp.float32) @ w
+    dt = jnp.dtype(dtype)
+    return jax.lax.dot_general(
+        x.astype(dt), w.astype(dt), (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _apply_mlp(layers, x, activation, dtype="float32"):
     act = _act(activation)
     for i, lyr in enumerate(layers):
-        x = x @ lyr["w"] + lyr["b"]
+        x = _matmul(x, lyr["w"], dtype) + lyr["b"]
+        if i < len(layers) - 1:
+            x = act(x)
+    return x
+
+
+def _apply_mlp_parts(layers, parts, activation, dtype="float32"):
+    """_apply_mlp where the input is a CONCAT of `parts` along the last
+    axis, with the first layer computed as a sum of per-part GEMMs against
+    static row-slices of W — the (batch, 2100+latent) concat buffer never
+    materializes in HBM (it would be read-write traffic comparable to the
+    GEMM itself at 4096x24 samples)."""
+    act = _act(activation)
+    w0 = layers[0]["w"]
+    off, x = 0, layers[0]["b"]
+    for p in parts:
+        d = p.shape[-1]
+        x = x + _matmul(p, w0[off:off + d], dtype)
+        off += d
+    assert off == w0.shape[0], (off, w0.shape)
+    if len(layers) > 1:
+        x = act(x)
+    for i, lyr in enumerate(layers[1:], start=1):
+        x = _matmul(x, lyr["w"], dtype) + lyr["b"]
         if i < len(layers) - 1:
             x = act(x)
     return x
@@ -80,12 +119,13 @@ def init_actor_critic(key: jax.Array, num_obs: int, num_privileged_obs: int,
 
 
 def adaptation_module(params, obs_history, args: ACArgs = ACArgs()):
-    return _apply_mlp(params["adaptation"], obs_history, args.activation)
+    return _apply_mlp(params["adaptation"], obs_history, args.activation,
+                      args.compute_dtype)
 
 
 def actor_mean(params, obs_history, latent, args: ACArgs = ACArgs()):
-    x = jnp.concatenate([obs_history, latent], axis=-1)
-    return _apply_mlp(params["actor"], x, args.activation)
+    return _apply_mlp_parts(params["actor"], [obs_history, latent],
+                            args.activation, args.compute_dtype)
 
 
 def act_student(params, obs_history, args: ACArgs = ACArgs()):
@@ -99,8 +139,8 @@ def act_teacher(params, obs_history, privileged_obs, args: ACArgs = ACArgs()):
 
 
 def evaluate(params, obs_history, privileged_obs, args: ACArgs = ACArgs()):
-    x = jnp.concatenate([obs_history, privileged_obs], axis=-1)
-    return _apply_mlp(params["critic"], x, args.activation)[..., 0]
+    return _apply_mlp_parts(params["critic"], [obs_history, privileged_obs],
+                            args.activation, args.compute_dtype)[..., 0]
 
 
 def distribution(params, obs_history, args: ACArgs = ACArgs()):
