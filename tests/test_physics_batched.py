@@ -157,3 +157,32 @@ def test_batched_pallas_matches_xla():
     np.testing.assert_allclose(s_p.base_lin_vel, s_x.base_lin_vel, atol=1e-4)
     np.testing.assert_allclose(s_p.joint_qd, s_x.joint_qd, atol=1e-3)
     np.testing.assert_allclose(i_p.foot_forces, i_x.foot_forces, atol=1e-1)
+
+
+def test_pallas_fk_matches_xla_interpret():
+    """Kernel A (FK + sphere positions) vs the XLA fk_core/sphere_pos_core
+    chain it replaces — small enough to run in interpret mode on CPU."""
+    from wtw_tpu.physics.batched import (_Static, _fk_b_rows, _pallas_fk,
+                                         fk_core, sphere_pos_core)
+    model = load_robot("go1")
+    st = _Static(model, EngineParams())
+    B = 16
+    state = _random_states(jax.random.PRNGKey(5), model, B)
+    cols = lambda a: [a[:, i] for i in range(a.shape[1])]
+    bp, bq, jq = (cols(state.base_pos), cols(state.base_quat),
+                  cols(state.joint_q))
+
+    fkb, fkp, xp_g = _pallas_fk(st, bp, bq, jq, B)
+    body_pos, body_quat, anchors, axes = fk_core(st, bp, bq, jq)
+    xp_ref, _ = sphere_pos_core(st, body_pos, body_quat)
+
+    rows_ref = _fk_b_rows(st, body_pos, body_quat, anchors, axes)
+    rows_got = fkb.reshape(fkb.shape[0], -1)[:, :B]
+    for i, r in enumerate(rows_ref):
+        np.testing.assert_allclose(np.asarray(rows_got[i]),
+                                   np.asarray(jnp.broadcast_to(r, (B,))),
+                                   atol=1e-5, err_msg=f"fk_b row {i}")
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(xp_g[k]),
+                                   np.asarray(xp_ref[k]), atol=1e-5,
+                                   err_msg=f"xp[{k}]")

@@ -273,16 +273,22 @@ def _stack_bodies(comps_per_body, sel=None):
             for k in range(ncomp)]
 
 
-def sphere_pos_core(st: _Static, body_pos, body_quat):
+def sphere_pos_core(st: _Static, body_pos, body_quat, in_kernel=False):
     """World positions of all collision spheres, sphere-vectorized.
-    Returns xp = [x, y, z] each (P, *batch), plus per-body R (nested lists)."""
+    Returns xp = [x, y, z] each (P, *batch), plus per-body R (nested lists).
+    in_kernel: materialize static sphere offsets with kconst (Pallas-legal)
+    instead of captured numpy columns."""
     bnd = jnp.ndim(body_pos[0][0])
     R = [q_to_R(q) for q in body_quat]
     # stacked rotation entries and positions selected per sphere
     Rsel = [[jnp.stack([R[b][i][j] for b in st.sph_body])
              for j in range(3)] for i in range(3)]         # (P, *batch)
     psel = _stack_bodies(body_pos, st.sph_body)
-    off = [_col(st.sph_pos[:, k], bnd) for k in range(3)]
+    if in_kernel:
+        bshape = jnp.shape(body_pos[0][0])
+        off = [kconst(st.sph_pos[:, k], bshape) for k in range(3)]
+    else:
+        off = [_col(st.sph_pos[:, k], bnd) for k in range(3)]
     xp = [ad(psel[i], *[m(Rsel[i][j], off[j]) for j in range(3)])
           for i in range(3)]
     return xp, R
@@ -726,10 +732,24 @@ _SUB = 8
 _BLOCK = _LANE * _SUB
 
 
+class _Pre:
+    """Placeholder leaf referencing row `row` of a PRE-PACKED operand group
+    (an array already in the kernel's (n, *lead, SUB, LANE) tile layout,
+    e.g. the FK kernel's outputs) — consumed in-layout by the dynamics
+    kernel with no XLA-side unpack/repack round trip."""
+
+    __slots__ = ("group", "row")
+
+    def __init__(self, group, row):
+        self.group = group
+        self.row = row
+
+
 def _flatten_tree(nested):
     """Flatten nested dict/list structures into (array_leaves, rebuild_fn).
     Python scalars, numpy arrays (static consts) and None are captured as
-    compile-time constants."""
+    compile-time constants. _Pre leaves resolve against the `pre` dict
+    passed to rebuild (group name -> indexable of rows)."""
     leaves = []
 
     def walk(x):
@@ -737,6 +757,8 @@ def _flatten_tree(nested):
             return ("d", [(k, walk(x[k])) for k in sorted(x)])
         if isinstance(x, (list, tuple)):
             return ("l", [walk(e) for e in x])
+        if isinstance(x, _Pre):
+            return ("p", (x.group, x.row))
         if x is None or _isc(x) or isinstance(x, np.ndarray):
             return ("c", x)
         leaves.append(x)
@@ -744,18 +766,98 @@ def _flatten_tree(nested):
 
     spec = walk(nested)
 
-    def rebuild(vals, node=None):
+    def rebuild(vals, node=None, pre=None):
         kind, v = spec if node is None else node
         if kind == "d":
-            return {k: rebuild(vals, e) for k, e in v}
+            return {k: rebuild(vals, e, pre) for k, e in v}
         if kind == "l":
-            return [rebuild(vals, e) for e in v]
+            return [rebuild(vals, e, pre) for e in v]
+        if kind == "p":
+            return pre[v[0]][v[1]]
         return v if kind == "c" else vals[v]
 
     return leaves, rebuild
 
 
-def _pallas_dynamics(st: _Static, inputs: Dict, B: int):
+def _fk_b_rows(st: _Static, body_pos, body_quat, anchors, axes):
+    """Canonical flattening of the FK kernel's (B,)-lead outputs; must stay
+    in lockstep with _fk_pre_tree."""
+    rows = [body_pos[b][k] for b in range(st.nb) for k in range(3)]
+    rows += [body_quat[b][k] for b in range(st.nb) for k in range(4)]
+    rows += [anchors[j][k] for j in range(st.nj) for k in range(3)]
+    rows += [axes[j][k] for j in range(st.nj) for k in range(3)]
+    return rows
+
+
+def _fk_pre_tree(st: _Static):
+    """_Pre placeholder trees addressing _fk_b_rows'/xp's packed layout."""
+    import itertools
+    c = itertools.count()
+    nxt = lambda: _Pre("fk_b", next(c))
+    body_pos = [[nxt() for _ in range(3)] for _ in range(st.nb)]
+    body_quat = [[nxt() for _ in range(4)] for _ in range(st.nb)]
+    anchors = [[nxt() for _ in range(3)] for _ in range(st.nj)]
+    axes = [[nxt() for _ in range(3)] for _ in range(st.nj)]
+    xp = [_Pre("fk_p", k) for k in range(3)]
+    return body_pos, body_quat, anchors, axes, xp
+
+
+def _pack_rows(arrs, B: int, Bp: int):
+    """Stack (B,) arrays into the (n, G*SUB, LANE) tile layout."""
+    a = jnp.stack([jnp.broadcast_to(jnp.asarray(x, jnp.float32), (B,))
+                   for x in arrs])
+    if Bp != B:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(a[:, -1:], (a.shape[0], Bp - B))], axis=-1)
+    return a.reshape(a.shape[0], (Bp // _BLOCK) * _SUB, _LANE)
+
+
+def _pallas_fk(st: _Static, base_pos, base_quat, joint_q, B: int):
+    """Kernel A of the two-kernel substep: FK + sphere world positions,
+    written directly in kernel B's packed tile layout (fk_b: (B,)-lead rows,
+    fk_p: the (P,)-lead xp rows). Replaces the ~160-leaf XLA elementwise FK
+    chain + per-leaf stack that dominated the substep's non-kernel time."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bp = ((B + _BLOCK - 1) // _BLOCK) * _BLOCK
+    G = Bp // _BLOCK
+    rows = list(base_pos) + list(base_quat) + list(joint_q)
+    packed = _pack_rows(rows, B, Bp)
+    n_in = len(rows)                       # 3 + 4 + nj
+    n_b = st.nb * 7 + st.nj * 6
+
+    def kernel(in_ref, out_b, out_p):
+        vals = [in_ref[i] for i in range(n_in)]
+        bp, bq, jq = vals[0:3], vals[3:7], vals[7:]
+        body_pos, body_quat, anchors, axes = fk_core(st, bp, bq, jq)
+        xp, _ = sphere_pos_core(st, body_pos, body_quat, in_kernel=True)
+        for i, v in enumerate(_fk_b_rows(st, body_pos, body_quat,
+                                         anchors, axes)):
+            out_b[i] = jnp.broadcast_to(v, (_SUB, _LANE))
+        for k in range(3):
+            out_p[k] = jnp.broadcast_to(xp[k], (st.P, _SUB, _LANE))
+
+    fkb, fkp = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((n_in, _SUB, _LANE), lambda g: (0, g, 0))],
+        out_specs=[
+            pl.BlockSpec((n_b, _SUB, _LANE), lambda g: (0, g, 0)),
+            pl.BlockSpec((3, st.P, _SUB, _LANE), lambda g: (0, 0, g, 0))],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_b, G * _SUB, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((3, st.P, G * _SUB, _LANE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(packed)
+    xp_flat = fkp.reshape(3, st.P, Bp)[..., :B]      # for the hf gather
+    return fkb, fkp, [xp_flat[k] for k in range(3)]
+
+
+def _pallas_dynamics(st: _Static, inputs: Dict, B: int,
+                     pre: Optional[Dict[str, jnp.ndarray]] = None):
     """Run dynamics_core inside one Pallas kernel, env tiled (8, 128).
 
     Leaves are grouped by leading ("row") shape — (B,) state rows and
@@ -796,27 +898,38 @@ def _pallas_dynamics(st: _Static, inputs: Dict, B: int):
     packed = {ls: pack(buckets[ls], ls) for ls in lead_shapes}
     # packed[ls]: (n, *ls, G*SUB, LANE)
 
+    pre = pre or {}
+    pre_names = sorted(pre)
+    # pre[g]: (n, *lead, G*SUB, LANE) already in tile layout
+    pre_leads = {g: pre[g].shape[1:-2] for g in pre_names}
+
     # discover output structure abstractly (no eager work at trace time)
     probe_spec = {}
 
-    def _probe(vals):
-        out = dynamics_core(st, rebuild_in(vals))
+    def _probe(vals, pre_vals):
+        out = dynamics_core(st, rebuild_in(vals, pre=pre_vals))
         leaves, rebuild = _flatten_tree(out)
         probe_spec["rebuild"] = rebuild
         probe_spec["n"] = len(leaves)
         return leaves
 
-    jax.eval_shape(_probe, [jax.ShapeDtypeStruct(p.shape[:-1] + (1, 1),
-                                                 jnp.float32)
-                            for p in prepped])
+    jax.eval_shape(
+        _probe,
+        [jax.ShapeDtypeStruct(p.shape[:-1] + (1, 1), jnp.float32)
+         for p in prepped],
+        {g: [jax.ShapeDtypeStruct(pre_leads[g] + (1, 1), jnp.float32)
+             for _ in range(pre[g].shape[0])] for g in pre_names})
     out_rebuild_fn = probe_spec["rebuild"]
     n_out = probe_spec["n"]
 
+    n_bkt = len(lead_shapes)
+
     def kernel(*refs):
-        in_refs = dict(zip(lead_shapes, refs[:-1]))
+        in_refs = dict(zip(lead_shapes, refs[:n_bkt]))
+        pre_refs = dict(zip(pre_names, refs[n_bkt:-1]))
         out_ref = refs[-1]
         vals = [in_refs[ls][row] for ls, row in leaf_slot]  # (*ls, SUB, LANE)
-        I = rebuild_in(vals)
+        I = rebuild_in(vals, pre=pre_refs)
         out = dynamics_core(st, I)
         leaves, _ = _flatten_tree(out)
         assert len(leaves) == n_out
@@ -832,6 +945,13 @@ def _pallas_dynamics(st: _Static, inputs: Dict, B: int):
         in_specs.append(pl.BlockSpec(
             blk, lambda g, _n=nlead: (0,) * _n + (g, 0)))
         ops.append(packed[ls])
+    for g_name in pre_names:
+        ls = pre_leads[g_name]
+        blk = (pre[g_name].shape[0],) + ls + (_SUB, _LANE)
+        nlead = 1 + len(ls)
+        in_specs.append(pl.BlockSpec(
+            blk, lambda g, _n=nlead: (0,) * _n + (g, 0)))
+        ops.append(pre[g_name])
 
     from jax.experimental.pallas import tpu as pltpu
     out = pl.pallas_call(
@@ -881,15 +1001,24 @@ def physics_step_batched(model: RobotModel, hf: HeightField,
          + cols(state.joint_qd))
     tau = cols(joint_torque)
 
-    # FK + sphere positions (XLA: pure (B,) elementwise chains, 1-D layouts)
-    body_pos, body_quat, anchors, axes = fk_core(st, base_pos, base_quat,
-                                                 joint_q)
-    xp, _R = sphere_pos_core(st, body_pos, body_quat)
+    pre = None
+    if backend == "pallas":
+        # kernel A: FK + sphere positions, emitted pre-packed for kernel B;
+        # only the sphere xy positions surface to XLA (for the hf gather)
+        fkb, fkp, xp_g = _pallas_fk(st, base_pos, base_quat, joint_q, B)
+        pre = {"fk_b": fkb, "fk_p": fkp}
+        body_pos, body_quat, anchors, axes, xp = _fk_pre_tree(st)
+    else:
+        # XLA: pure (B,) elementwise chains, 1-D layouts
+        body_pos, body_quat, anchors, axes = fk_core(st, base_pos, base_quat,
+                                                     joint_q)
+        xp, _R = sphere_pos_core(st, body_pos, body_quat)
+        xp_g = xp
 
-    hc, du, dv = _hf_rows(hf, xp[0], xp[1])
+    hc, du, dv = _hf_rows(hf, xp_g[0], xp_g[1])
     ceil_h = None
     if hf_ceiling is not None:
-        ceil_h = _hf_height(hf_ceiling, xp[0], xp[1])
+        ceil_h = _hf_height(hf_ceiling, xp_g[0], xp_g[1])
 
     zero = jnp.zeros((B,), jnp.float32)
     g_ext = None
@@ -913,7 +1042,7 @@ def physics_step_batched(model: RobotModel, hf: HeightField,
     )
 
     if backend == "pallas":
-        out = _pallas_dynamics(st, inputs, B)
+        out = _pallas_dynamics(st, inputs, B, pre=pre)
     else:
         out = dynamics_core(st, inputs)
 
