@@ -41,9 +41,14 @@ def main():
                     help="measure duty factor / stride freq / trot phase")
     ap.add_argument("--video", default=None,
                     help="render a rollout video to this path")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (evaluate while the TPU is "
+                         "held by a training run)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -53,13 +58,19 @@ def main():
     from wtw_tpu.learn.eval_metrics import DR_SWEEPS, base_set, evaluate_policy
     from wtw_tpu.models import actor_critic as ac
 
-    cfg = PRESETS[args.preset](num_envs=args.num_envs)
+    with open(args.checkpoint, "rb") as f:
+        blob = pickle.load(f)
+    if blob.get("cfg") is not None:
+        # checkpoints written since round 2 carry the training config —
+        # rebuild an obs-compatible env regardless of --preset
+        cfg = blob["cfg"]
+        cfg = dataclasses.replace(cfg, env=dataclasses.replace(
+            cfg.env, num_envs=args.num_envs, num_eval_envs=0))
+    else:
+        cfg = PRESETS[args.preset](num_envs=args.num_envs)
     if args.sweep:
         cfg = DR_SWEEPS[args.sweep](base_set(cfg))
     env = make_legged_env(cfg, seed=args.seed)
-
-    with open(args.checkpoint, "rb") as f:
-        blob = pickle.load(f)
     params = jax.tree.map(jnp.asarray, blob["ts"].params)
 
     def policy(obs_dict):

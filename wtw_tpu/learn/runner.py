@@ -178,6 +178,9 @@ class Runner:
             "ts": jax.device_get(self.ts),
             "world": jax.device_get(self.world),
             "obs_dict": jax.device_get(self.obs_dict),
+            # env config, so eval tools (scripts/play.py) can rebuild an
+            # obs-compatible env without the user re-specifying the preset
+            "cfg": getattr(self.env, "cfg", None),
         }
         with open(path, "wb") as f:
             pickle.dump(blob, f)
