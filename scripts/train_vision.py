@@ -18,11 +18,19 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_env(num_envs, seed):
+def build_env(num_envs, seed, terrain="mixed", easy_mode=False,
+              overrides=()):
     import wtw_tpu; wtw_tpu.enable_compilation_cache()
     from wtw_tpu.envs.parkour_env import ParkourCfg, ParkourEnv
     from wtw_tpu.models import load_robot
-    cfg = ParkourCfg(num_envs=num_envs)
+    from wtw_tpu.config import apply_overrides
+    from wtw_tpu.terrain import ParkourTerrainCfg
+    from train_parkour import TERRAIN_PRESETS
+    cfg = ParkourCfg(num_envs=num_envs,
+                     terrain=ParkourTerrainCfg(
+                         proportions=TERRAIN_PRESETS[terrain],
+                         easy_mode=easy_mode))
+    cfg = apply_overrides(cfg, overrides)
     return ParkourEnv(cfg, load_robot(cfg.robot), seed=seed)
 
 
@@ -38,14 +46,26 @@ def main():
     ap.add_argument("--env-steps", type=int, default=100_000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/vision")
+    ap.add_argument("--terrain", default="mixed",
+                    help="terrain preset (must match the expert's training "
+                         "terrain so obs statistics line up)")
+    ap.add_argument("--easy-mode", action="store_true")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="cfg overrides, e.g. --set only_forwards=true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU free)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from wtw_tpu.learn import ddpg_demos as D
     from wtw_tpu.learn.cat_ppo import get_action_mean, rms_norm
 
-    env = build_env(args.num_envs, args.seed)
+    env = build_env(args.num_envs, args.seed, terrain=args.terrain,
+                    easy_mode=args.easy_mode, overrides=args.set)
     ddpg_args = D.DDPGArgs(buffer_steps=max(args.steps, 64))
 
     if args.mode == "generate":
