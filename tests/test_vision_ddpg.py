@@ -33,6 +33,36 @@ def test_depth_sees_a_wall():
     assert bool(jnp.isfinite(img_wall).all())
 
 
+def test_depth_sees_own_legs():
+    """With `model` passed, the robot's collision spheres composite into
+    the frame at near depth (Isaac's camera renders the robot's own body,
+    tasks/go2_parkour.py:784-808; ours splats the engine's sphere
+    geometry). Camera placed behind the base so the body is guaranteed
+    in view."""
+    model = load_robot("go1")
+    hf = flat_heightfield()
+    cfg = DepthCameraCfg(position=(-0.6, 0.0, 0.2))
+    pos = jnp.array([[0.0, 0.0, 0.35]])
+    quat = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    from wtw_tpu.models.robot import default_joint_angles
+    q = default_joint_angles(model, {
+        "FL_hip_joint": 0.1, "RL_hip_joint": 0.1, "FR_hip_joint": -0.1,
+        "RR_hip_joint": -0.1, "FL_thigh_joint": 0.8, "RL_thigh_joint": 1.0,
+        "FR_thigh_joint": 0.8, "RR_thigh_joint": 1.0, "FL_calf_joint": -1.5,
+        "RL_calf_joint": -1.5, "FR_calf_joint": -1.5, "RR_calf_joint": -1.5,
+    })[None, :]
+    img_plain = make_depth_fn(hf, cfg)(pos, quat)[0]
+    img_legs = make_depth_fn(hf, cfg, model=model)(pos, quat, q)[0]
+    # compositing can only bring pixels nearer
+    assert bool((img_legs <= img_plain + 1e-6).all())
+    # and the body visibly occludes part of the frame
+    assert int((img_legs < img_plain - 0.2).sum()) > 20
+    # joint-angle dependence: swinging the legs changes the image
+    img_legs2 = make_depth_fn(hf, cfg, model=model)(
+        pos, quat, q + 0.4)[0]
+    assert float(jnp.abs(img_legs2 - img_legs).max()) > 0.05
+
+
 def test_vision_backbone_shapes():
     args = D.DDPGArgs()
     p = D.init_vision(jax.random.PRNGKey(0), args)

@@ -55,15 +55,24 @@ def _pixel_dirs(cfg: DepthCameraCfg) -> np.ndarray:
     return (dirs @ R.T).astype(np.float32)         # (H, W, 3)
 
 
-def make_depth_fn(hf: HeightField, cfg: DepthCameraCfg = DepthCameraCfg()):
+def make_depth_fn(hf: HeightField, cfg: DepthCameraCfg = DepthCameraCfg(),
+                  model=None):
     """Returns render(base_pos (N,3), base_quat (N,4)) -> (N, H, W) float32
     in [0, 1] (0 = near clip, 1 = far clip), like the reference's
-    normalized depth (:800-802)."""
+    normalized depth (:800-802).
+
+    With `model` (a RobotModel), the robot's own collision spheres are
+    composited into the frame by closed-form ray-sphere intersection, so
+    the swinging legs appear at near depth like they do in Isaac's
+    rasterized camera (tasks/go2_parkour.py:784-808 renders the full robot
+    mesh; our collision geometry IS spheres, so sphere splats are the
+    exact self-view of the simulated body). render then takes a third
+    argument joint_q (N, nj)."""
     dirs_cam = jnp.asarray(_pixel_dirs(cfg).reshape(-1, 3))    # (P, 3)
     cam_off = jnp.asarray(cfg.position, jnp.float32)
     ts = jnp.linspace(cfg.clip_min, cfg.clip_max, cfg.march_steps)
 
-    def render_one(base_pos, base_quat):
+    def terrain_depth(base_pos, base_quat):
         # yaw-only rotation like the height scan (a full rotation would need
         # roll/pitch-corrected rays; the reference camera is body-fixed, so
         # apply the full base rotation):
@@ -78,7 +87,34 @@ def make_depth_fn(hf: HeightField, cfg: DepthCameraCfg = DepthCameraCfg()):
         hit_idx = jnp.argmax(below, axis=-1)                    # (P,)
         any_hit = jnp.any(below, axis=-1)
         depth = jnp.where(any_hit, ts[hit_idx], cfg.clip_max)
+        return depth, origin, d_world
+
+    def norm_img(depth):
         norm = (depth - cfg.clip_min) / (cfg.clip_max - cfg.clip_min)
         return norm.reshape(cfg.height, cfg.width)
 
-    return jax.vmap(render_one)
+    def render_one(base_pos, base_quat):
+        depth, _, _ = terrain_depth(base_pos, base_quat)
+        return norm_img(depth)
+
+    if model is None:
+        return jax.vmap(render_one)
+
+    from ..physics.engine import fk
+
+    def render_one_legs(base_pos, base_quat, joint_q):
+        depth, origin, d_world = terrain_depth(base_pos, base_quat)
+        body_pos, body_quat, _, _ = fk(model, base_pos, base_quat, joint_q)
+        R = quat_util.quat_to_matrix(body_quat)                 # (nb,3,3)
+        centers = body_pos[model.sph_body] + jnp.einsum(
+            "kij,kj->ki", R[model.sph_body], model.sph_pos)     # (K, 3)
+        oc = centers - origin                                   # (K, 3)
+        b = d_world @ oc.T                                      # (P, K)
+        disc = b * b - (jnp.sum(oc * oc, axis=-1)[None, :]
+                        - (model.sph_radius ** 2)[None, :])     # (P, K)
+        t = b - jnp.sqrt(jnp.maximum(disc, 0.0))                # near root
+        hit = (disc > 0.0) & (t > cfg.clip_min)
+        t_sph = jnp.min(jnp.where(hit, t, cfg.clip_max), axis=-1)  # (P,)
+        return norm_img(jnp.minimum(depth, t_sph))
+
+    return jax.vmap(render_one_legs)

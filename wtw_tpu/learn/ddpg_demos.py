@@ -367,7 +367,7 @@ def generate_demos(expert_policy_fn, env, steps: int, key, args: DDPGArgs,
         buffer = init_buffer(args, env.num_envs, env.num_obs,
                              env.num_actions)
     render = make_depth_fn(env.hf, DepthCameraCfg(
-        height=args.vis_hw, width=args.vis_hw))
+        height=args.vis_hw, width=args.vis_hw), model=env.model)
     world = env.init_state(key)
     obs = env.get_observations(world)
     zero_h = jnp.zeros((env.num_envs, args.rnn_hidden))
@@ -376,7 +376,8 @@ def generate_demos(expert_policy_fn, env, steps: int, key, args: DDPGArgs,
     def one(world, obs, buffer):
         actions = expert_policy_fn(obs)
         world2, next_obs, rew, done_prob, info = env.step(world, actions)
-        vobs = render(world.env.phys.base_pos, world.env.phys.base_quat)
+        vobs = render(world.env.phys.base_pos, world.env.phys.base_quat,
+                       world.env.phys.joint_q)
         vobs_u8 = (vobs * 255).astype(jnp.uint8)
         buffer = buffer_add(
             buffer, obs[:, :args.proprio_dim], obs, vobs_u8, actions, rew,
@@ -410,7 +411,8 @@ def train_vision_student(env, expert_buffer: SeqBuffer, total_env_steps: int,
                           actor_tx, q_tx)
     rb = init_buffer(args, env.num_envs, env.num_obs, env.num_actions)
     render = make_depth_fn(env.hf, DepthCameraCfg(height=args.vis_hw,
-                                                  width=args.vis_hw))
+                                                  width=args.vis_hw),
+                           model=env.model)
     world = env.init_state(k_env)
     obs = env.get_observations(world)
     N = env.num_envs
@@ -420,7 +422,8 @@ def train_vision_student(env, expert_buffer: SeqBuffer, total_env_steps: int,
     @jax.jit
     def collect(ts, world, obs, hidden, vlat, rb, step, key):
         key, k_expl = jax.random.split(key)
-        vobs = render(world.env.phys.base_pos, world.env.phys.base_quat)
+        vobs = render(world.env.phys.base_pos, world.env.phys.base_quat,
+                       world.env.phys.joint_q)
         vlat = jnp.where(step % args.vision_update_interval == 0,
                          vision_apply(ts.vision, vobs), vlat)
         proprio = obs[:, :args.proprio_dim]
