@@ -178,24 +178,28 @@ def evaluate_policy(env, policy_fn, steps: int = 250, seed: int = 0,
     metrics["CoT"] = []
     cot = make_cot(float(env.model.mass.sum()))
 
+    # commands enter the jitted step as a traced argument so that sweeping
+    # command values (eval_gaits.py) reuses ONE compiled executable
+    cmd_arr = (None if commands is None else
+               jnp.broadcast_to(jnp.asarray(commands),
+                                world.env.commands.shape))
+
     @jax.jit
-    def step(world, obs):
+    def step(world, obs, cmd_arr):
         actions = policy_fn(obs)
         world, obs, rew, done, info = env.step(world, actions)
-        if commands is not None:
+        if cmd_arr is not None:
             # re-pin the evaluation command after any resample/reset so
             # the WHOLE rollout tracks the requested command (the analog of
             # play.py overwriting env.commands each step, :120-131)
-            world = world.replace(env=world.env.replace(
-                commands=jnp.broadcast_to(jnp.asarray(commands),
-                                          world.env.commands.shape)))
+            world = world.replace(env=world.env.replace(commands=cmd_arr))
         vals = {name: fn(world) for name, fn in METRICS_FNS.items()}
         vals["CoT"] = cot(world)
         return world, obs, rew, vals
 
     rews = []
     for _ in range(steps):
-        world, obs, rew, vals = step(world, obs)
+        world, obs, rew, vals = step(world, obs, cmd_arr)
         rews.append(rew)
         for name, v in vals.items():
             metrics[name].append(v)
@@ -223,18 +227,20 @@ def gait_stats(env, policy_fn, steps: int = 400, seed: int = 0,
         world = world.replace(env=world.env.replace(commands=cmds))
     world, obs = env.get_observations(world)
 
+    cmd_arr = (None if commands is None else
+               jnp.broadcast_to(jnp.asarray(commands),
+                                world.env.commands.shape))
+
     @jax.jit
-    def step(world, obs):
+    def step(world, obs, cmd_arr):
         world, obs, rew, done, info = env.step(world, policy_fn(obs))
-        if commands is not None:
-            world = world.replace(env=world.env.replace(
-                commands=jnp.broadcast_to(jnp.asarray(commands),
-                                          world.env.commands.shape)))
+        if cmd_arr is not None:
+            world = world.replace(env=world.env.replace(commands=cmd_arr))
         return world, obs, world.env.last_contacts
 
     contacts = []
     for _ in range(steps):
-        world, obs, c = step(world, obs)
+        world, obs, c = step(world, obs, cmd_arr)
         contacts.append(np.asarray(c))
     c = np.stack(contacts).astype(np.float32)     # (T, N, 4) FR FL RR RL
     duty = c.mean(axis=0).mean(axis=0)            # (4,)
@@ -250,11 +256,26 @@ def gait_stats(env, policy_fn, steps: int = 400, seed: int = 0,
         denom = np.sqrt((a * a).sum(axis=0) * (b * b).sum(axis=0)) + 1e-8
         return ((a * b).sum(axis=0) / denom).mean()
 
+    # Three phase-correlation axes classify the four MoB gaits
+    # (scripts/go1/train.py gait command space: phases 0.5/0/0 = trot,
+    # 0/0.5/0 = pace, 0/0/0.5 = bound, 0/0/0 = pronk):
+    #   trot:  diag +, pair -, side -      pace:  diag -, pair -, side +
+    #   bound: diag -, pair +, side -      pronk: diag +, pair +, side +
+    # foot order is FR FL RR RL.
+    diag = (_corr(c[:, :, 0], c[:, :, 3]) + _corr(c[:, :, 1], c[:, :, 2])) / 2
+    pair = (_corr(c[:, :, 0], c[:, :, 1]) + _corr(c[:, :, 2], c[:, :, 3])) / 2
+    side = (_corr(c[:, :, 0], c[:, :, 2]) + _corr(c[:, :, 1], c[:, :, 3])) / 2
+    # nearest-template classification: dot the measured (diag, pair, side)
+    # against each gait's sign template
+    sig = {"trot": diag - pair - side, "pace": side - diag - pair,
+           "bound": pair - diag - side, "pronk": diag + pair + side}
     return {
         "duty_factor": duty.tolist(),
         "stride_freq_hz": float(freq.mean()),
-        "diag_corr": float((_corr(c[:, :, 0], c[:, :, 3])
-                            + _corr(c[:, :, 1], c[:, :, 2])) / 2),
-        "lateral_corr": float((_corr(c[:, :, 0], c[:, :, 1])
-                               + _corr(c[:, :, 2], c[:, :, 3])) / 2),
+        "diag_corr": float(diag),
+        "pair_corr": float(pair),
+        "side_corr": float(side),
+        # kept for round-1/2 table continuity: front/hind-pair correlation
+        "lateral_corr": float(pair),
+        "dominant_gait": max(sig, key=lambda k: float(sig[k])),
     }
