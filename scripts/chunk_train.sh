@@ -8,17 +8,20 @@
 # (takes effect at the next chunk boundary).
 #
 # Usage: chunk_train.sh RUN_DIR CHUNK_ITERS MAX_CHUNKS [extra train.py args...]
+# Set TRAIN=scripts/train_parkour.py to chunk a Stack-B run instead.
 set -u
 RUN_DIR=$1; CHUNK=$2; MAXC=$3; shift 3
+TRAIN=${TRAIN:-scripts/train.py}
 mkdir -p "$RUN_DIR"
 cd "$(dirname "$0")/.."
 for i in $(seq 1 "$MAXC"); do
     if [ -f "$RUN_DIR/STOP" ]; then echo "[chunk_train] STOP file — exiting"; break; fi
     RESUME=""
-    NEWEST=$(ls -t "$RUN_DIR"/checkpoints/state_*.pkl 2>/dev/null | head -1)
+    # Stack A saves under checkpoints/, Stack B at the run-dir root
+    NEWEST=$(ls -t "$RUN_DIR"/checkpoints/state_*.pkl "$RUN_DIR"/state_*.pkl 2>/dev/null | head -1)
     if [ -n "$NEWEST" ]; then RESUME="--resume $NEWEST"; fi
     echo "[chunk_train] chunk $i/$MAXC resume='$RESUME' $(date +%H:%M:%S)"
-    python scripts/train.py --run-dir "$RUN_DIR" --iterations "$CHUNK" \
+    python "$TRAIN" --run-dir "$RUN_DIR" --iterations "$CHUNK" \
         $RESUME "$@" >> "$RUN_DIR/train.log" 2>&1
     rc=$?
     echo "[chunk_train] chunk $i rc=$rc $(date +%H:%M:%S)"

@@ -58,9 +58,14 @@ def main():
     ap.add_argument("--set", action="append", default=[], metavar="K=V",
                     help="ParkourCfg override, e.g. --set only_forwards=true"
                          " --set terrain.num_levels=6")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (e.g. smoke-test while the "
+                         "TPU is held by another run)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -115,22 +120,26 @@ def main():
     obs = env.get_observations(world)
     ts = ts.replace(obs_rms=rms_update(ts.obs_rms, obs))
     obs_n = rms_norm(ts.obs_rms, obs)
+    it0 = 0
     if args.resume:
         with open(args.resume, "rb") as f:
             blob = pickle.load(f)
         to_dev = lambda t: jax.tree.map(jnp.asarray, t)
         ts, world, obs_n = (to_dev(blob["ts"]), to_dev(blob["world"]),
                             to_dev(blob["obs_n"]))
+        # continue global iteration numbering across resume chunks so the
+        # terrain-level curve in metrics.csv is one continuous series
+        it0 = int(blob.get("iteration", 0))
 
     train = jax.jit(train_fn_factory(env, ppo))
     csv_path = os.path.join(run_dir, "metrics.csv")
     csv_keys = None
     steps_per_iter = ppo.num_steps * env.num_envs
     t_start = time.time()
-    for it in range(args.iterations):
+    for it in range(it0, it0 + args.iterations):
         t0 = time.time()
         ts, world, obs_n, stats = train(ts, world, obs_n)
-        if it % args.log_freq == 0 or it == args.iterations - 1:
+        if it % args.log_freq == 0 or it == it0 + args.iterations - 1:
             stats = jax.device_get(stats)
             row = {
                 "iteration": it,
@@ -150,8 +159,10 @@ def main():
                 row["ep_rew_ang_vel"] = float(ep[1])
                 for i, name in enumerate(env.cstr_names):
                     row[f"cstr_{name}"] = float(ep[2 + i])
-            new = csv_keys is None
-            if new:
+            # only write the header once per FILE (resume chunks append)
+            new = csv_keys is None and not (
+                os.path.exists(csv_path) and os.path.getsize(csv_path) > 0)
+            if csv_keys is None:
                 csv_keys = list(row.keys())
             with open(csv_path, "a", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=csv_keys, extrasaction="ignore")
@@ -163,18 +174,19 @@ def main():
                   f"lvl {row['terrain_level']:.2f} | "
                   f"eplen {row['mean_episode_length']:.1f}s | "
                   f"vloss {row['value_loss']:.3f}")
-        if args.save_interval and it > 0 and it % args.save_interval == 0:
-            _save(run_dir, "last", ts, world, obs_n)
-    _save(run_dir, "last", ts, world, obs_n)
+        if args.save_interval and it > it0 and it % args.save_interval == 0:
+            _save(run_dir, it, ts, world, obs_n, it + 1)
+    _save(run_dir, "last", ts, world, obs_n, it0 + args.iterations)
 
 
-def _save(run_dir, tag, ts, world, obs_n):
+def _save(run_dir, tag, ts, world, obs_n, iteration):
     import jax
     import pickle
     path = os.path.join(run_dir, f"state_{tag}.pkl")
     with open(path, "wb") as f:
         pickle.dump({"ts": jax.device_get(ts), "world": jax.device_get(world),
-                     "obs_n": jax.device_get(obs_n)}, f)
+                     "obs_n": jax.device_get(obs_n),
+                     "iteration": int(iteration)}, f)
 
 
 if __name__ == "__main__":

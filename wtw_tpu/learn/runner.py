@@ -159,8 +159,11 @@ class Runner:
 
     # ------------------------------------------------------------------
     def _write_csv(self, row):
-        new = self._csv_keys is None
-        if new:
+        # only write the header once per FILE (resume chunks append)
+        new = self._csv_keys is None and not (
+            os.path.exists(self._csv_path)
+            and os.path.getsize(self._csv_path) > 0)
+        if self._csv_keys is None:
             self._csv_keys = list(row.keys())
         with open(self._csv_path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._csv_keys,
