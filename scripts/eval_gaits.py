@@ -40,7 +40,7 @@ def main():
     import numpy as np
 
     from wtw_tpu.envs import make_legged_env
-    from wtw_tpu.learn.eval_metrics import METRICS_FNS
+    from wtw_tpu.learn.eval_metrics import METRICS_FNS, classify_contacts
     from wtw_tpu.models import actor_critic as ac
 
     with open(args.checkpoint, "rb") as f:
@@ -90,12 +90,6 @@ def main():
                                            None, length=args.steps)
         return vals, contacts
 
-    def _corr(a, b):
-        a = a - a.mean(axis=0, keepdims=True)
-        b = b - b.mean(axis=0, keepdims=True)
-        denom = np.sqrt((a * a).sum(axis=0) * (b * b).sum(axis=0)) + 1e-8
-        return float(((a * b).sum(axis=0) / denom).mean())
-
     rows = []
     cases = [(g, 3.0) for g in ("trot", "pace", "bound", "pronk")]
     cases += [("trot", float(f)) for f in args.freqs.split(",")
@@ -103,26 +97,19 @@ def main():
     for gait, freq in cases:
         vals, contacts = jax.device_get(
             rollout(jnp.asarray(command_vec(gait, freq))))
-        c = np.asarray(contacts, np.float32)          # (T, N, 4) FR FL RR RL
-        diag = (_corr(c[:, :, 0], c[:, :, 3]) + _corr(c[:, :, 1], c[:, :, 2])) / 2
-        pair = (_corr(c[:, :, 0], c[:, :, 1]) + _corr(c[:, :, 2], c[:, :, 3])) / 2
-        side = (_corr(c[:, :, 0], c[:, :, 2]) + _corr(c[:, :, 1], c[:, :, 3])) / 2
-        sig = {"trot": diag - pair - side, "pace": side - diag - pair,
-               "bound": pair - diag - side, "pronk": diag + pair + side}
-        dominant = max(sig, key=sig.get)
-        onsets = np.diff(c[:, :, 0], axis=0) > 0
-        stride_hz = float((onsets.sum(axis=0) / (args.steps * env.dt)).mean())
+        g = classify_contacts(contacts, env.dt)
         rows.append({
             "iteration": it, "cmd_gait": gait, "cmd_freq_hz": freq,
             "cmd_vx": args.vx,
             "vx_rmse": round(float(np.mean(
                 np.asarray(vals["lin_vel_rmsd"]))), 4),
-            "diag": round(diag, 3), "pair": round(pair, 3),
-            "side": round(side, 3),
-            "stride_hz": round(stride_hz, 2),
-            "duty": round(float(c.mean()), 3),
-            "dominant": dominant,
-            "match": dominant == gait,
+            "diag": round(g["diag_corr"], 3),
+            "pair": round(g["pair_corr"], 3),
+            "side": round(g["side_corr"], 3),
+            "stride_hz": round(g["stride_freq_hz"], 2),
+            "duty": round(float(np.mean(g["duty_factor"])), 3),
+            "dominant": g["dominant_gait"],
+            "match": g["dominant_gait"] == gait,
         })
         print(json.dumps(rows[-1]))
 

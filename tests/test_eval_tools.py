@@ -82,3 +82,32 @@ def test_converted_actuator_net_available():
         tau = apply_actuator_net(p, *([jnp.zeros(12)] * 6))
         assert tau.shape == (12,)
         assert bool(jnp.isfinite(tau).all())
+
+
+def test_classify_contacts_gait_templates():
+    """Synthetic square-wave contact sequences must classify to their gait
+    and recover the stride frequency (foot order FR FL RR RL)."""
+    from wtw_tpu.learn.eval_metrics import classify_contacts
+
+    dt, T, N = 0.02, 400, 3
+    t = np.arange(T) * dt
+    f_hz = 2.5
+    base = (np.sin(2 * np.pi * f_hz * t) > 0).astype(np.float32)   # duty 0.5
+    anti = 1.0 - base
+    # phase assignment per gait: which feet move with `base` vs `anti`
+    gaits = {
+        "trot": (base, anti, anti, base),    # FR+RL in phase
+        "pace": (base, anti, base, anti),    # same-side pairs in phase
+        "bound": (base, base, anti, anti),   # front pair vs hind pair
+        "pronk": (base, base, base, base),   # all four together
+    }
+    for name, feet in gaits.items():
+        c = np.stack(feet, axis=-1)[:, None, :].repeat(N, axis=1)
+        out = classify_contacts(c, dt)
+        assert out["dominant_gait"] == name, (name, out)
+        assert abs(out["stride_freq_hz"] - f_hz) < 0.2, (name, out)
+        assert abs(np.mean(out["duty_factor"]) - 0.5) < 0.05
+    # trot axes have the expected signs
+    out = classify_contacts(np.stack(gaits["trot"], -1)[:, None, :], dt)
+    assert out["diag_corr"] > 0.9 and out["pair_corr"] < -0.9 \
+        and out["side_corr"] < -0.9

@@ -243,12 +243,28 @@ def gait_stats(env, policy_fn, steps: int = 400, seed: int = 0,
         world, obs, c = step(world, obs, cmd_arr)
         contacts.append(np.asarray(c))
     c = np.stack(contacts).astype(np.float32)     # (T, N, 4) FR FL RR RL
-    duty = c.mean(axis=0).mean(axis=0)            # (4,)
+    out = classify_contacts(c, env.dt)
+    # kept for round-1/2 table continuity: front/hind-pair correlation
+    out["lateral_corr"] = out["pair_corr"]
+    return out
 
+
+def classify_contacts(c, dt):
+    """Gait signature of a (T, N, 4) foot-contact sequence (foot order
+    FR FL RR RL): duty factor, stride frequency from contact onsets, and
+    three phase-correlation axes that classify the four MoB gaits
+    (scripts/go1/train.py gait command space: phases 0.5/0/0 = trot,
+    0/0.5/0 = pace, 0/0/0.5 = bound, 0/0/0 = pronk):
+      trot:  diag +, pair -, side -      pace:  diag -, pair -, side +
+      bound: diag -, pair +, side -      pronk: diag +, pair +, side +
+    dominant_gait = nearest sign template to the measured axes."""
+    import numpy as np
+
+    c = np.asarray(c, np.float32)
+    duty = c.mean(axis=0).mean(axis=0)            # (4,)
     # stride frequency from contact onsets of foot 0, averaged over envs
     onsets = np.diff(c[:, :, 0], axis=0) > 0
-    n_strides = onsets.sum(axis=0)
-    freq = n_strides / (steps * env.dt)
+    freq = onsets.sum(axis=0) / (c.shape[0] * dt)
 
     def _corr(a, b):
         a = a - a.mean(axis=0, keepdims=True)
@@ -256,17 +272,9 @@ def gait_stats(env, policy_fn, steps: int = 400, seed: int = 0,
         denom = np.sqrt((a * a).sum(axis=0) * (b * b).sum(axis=0)) + 1e-8
         return ((a * b).sum(axis=0) / denom).mean()
 
-    # Three phase-correlation axes classify the four MoB gaits
-    # (scripts/go1/train.py gait command space: phases 0.5/0/0 = trot,
-    # 0/0.5/0 = pace, 0/0/0.5 = bound, 0/0/0 = pronk):
-    #   trot:  diag +, pair -, side -      pace:  diag -, pair -, side +
-    #   bound: diag -, pair +, side -      pronk: diag +, pair +, side +
-    # foot order is FR FL RR RL.
     diag = (_corr(c[:, :, 0], c[:, :, 3]) + _corr(c[:, :, 1], c[:, :, 2])) / 2
     pair = (_corr(c[:, :, 0], c[:, :, 1]) + _corr(c[:, :, 2], c[:, :, 3])) / 2
     side = (_corr(c[:, :, 0], c[:, :, 2]) + _corr(c[:, :, 1], c[:, :, 3])) / 2
-    # nearest-template classification: dot the measured (diag, pair, side)
-    # against each gait's sign template
     sig = {"trot": diag - pair - side, "pace": side - diag - pair,
            "bound": pair - diag - side, "pronk": diag + pair + side}
     return {
@@ -275,7 +283,5 @@ def gait_stats(env, policy_fn, steps: int = 400, seed: int = 0,
         "diag_corr": float(diag),
         "pair_corr": float(pair),
         "side_corr": float(side),
-        # kept for round-1/2 table continuity: front/hind-pair correlation
-        "lateral_corr": float(pair),
         "dominant_gait": max(sig, key=lambda k: float(sig[k])),
     }
