@@ -80,3 +80,41 @@ def test_checkpoint_resume_exact(tmp_path):
     r2.load(path)
     r2.learn(1, log_fn=lambda *a: None)
     np.testing.assert_array_equal(np.asarray(r2.ts.params["std"]), ref_std)
+
+
+@pytest.mark.slow
+def test_slim_checkpoint_resume(tmp_path):
+    """Slim checkpoints (tools/slim_checkpoint.py) restore the learner
+    TrainState + curriculum + anneal clock; envs restart fresh but training
+    continues from the saved iteration with identical params."""
+    import gzip
+    import pickle
+    import subprocess
+    import sys
+
+    cfg = go1_flat_config(num_envs=4)
+    env = LeggedEnv(cfg, load_robot("go1"))
+    args = PPOArgs(num_steps_per_env=4, num_mini_batches=2,
+                   num_learning_epochs=1)
+    r1 = Runner(env, args, runner_args=RunnerArgs(run_dir=str(tmp_path / "a"),
+                                                  save_interval=0))
+    r1.learn(2, log_fn=lambda *a: None)
+    full = r1.save("t")
+    slim = str(tmp_path / "slim.pkl.gz")
+    subprocess.run([sys.executable, "tools/slim_checkpoint.py", full, slim],
+                   check=True)
+
+    r2 = Runner(env, args, runner_args=RunnerArgs(run_dir=str(tmp_path / "b"),
+                                                  save_interval=0))
+    r2.load(slim)
+    assert int(jax.device_get(r2.ts.iteration)) == \
+        int(jax.device_get(r1.ts.iteration))
+    np.testing.assert_array_equal(np.asarray(r2.ts.params["std"]),
+                                  np.asarray(r1.ts.params["std"]))
+    np.testing.assert_array_equal(
+        np.asarray(r2.world.curriculum.weights),
+        np.asarray(r1.world.curriculum.weights))
+    assert int(jax.device_get(r2.world.common_step)) == \
+        int(jax.device_get(r1.world.common_step))
+    r2.learn(1, log_fn=lambda *a: None)   # continues without error
+    assert np.all(np.isfinite(np.asarray(r2.ts.params["std"])))

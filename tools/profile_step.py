@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/wtw_prof")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="network GEMM compute dtype (matches bench.py)")
     args = ap.parse_args()
 
     if args.mode == "parse":
@@ -88,10 +90,12 @@ def main():
     else:
         from wtw_tpu.learn import PPOArgs
         from wtw_tpu.learn.ppo_cse import init_train_state, make_train_fns
+        from wtw_tpu.models.actor_critic import ACArgs
         ppo_args = PPOArgs()
+        ac_args = ACArgs(compute_dtype=args.dtype)
         world, obs_dict = env.get_observations(world)
-        ts = init_train_state(jax.random.PRNGKey(1), env, ppo_args)
-        fn = jax.jit(make_train_fns(env, ppo_args))
+        ts = init_train_state(jax.random.PRNGKey(1), env, ppo_args, ac_args)
+        fn = jax.jit(make_train_fns(env, ppo_args, ac_args))
         ts, world, obs_dict, stats = fn(ts, world, obs_dict)
         jax.block_until_ready(stats["loss"])
         state = (ts, world, obs_dict)

@@ -200,12 +200,24 @@ class Runner:
         return path
 
     def load(self, path):
-        with open(path, "rb") as f:
+        opener = __import__("gzip").open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
             blob = pickle.load(f)
         to_dev = lambda t: jax.tree.map(jnp.asarray, t)
         self.ts = to_dev(blob["ts"])
-        self.world = to_dev(blob["world"])
-        self.obs_dict = to_dev(blob["obs_dict"])
+        if blob.get("slim"):
+            # slim checkpoint (tools/slim_checkpoint.py): learner state +
+            # curriculum weights + anneal clock only — env arrays are NOT
+            # carried (they don't fit version control; runs/ is wiped
+            # between build rounds). Envs restart fresh; training state,
+            # command curriculum, and reward anneal continue exactly.
+            self.world = self.world.replace(
+                curriculum=to_dev(blob["curriculum"]),
+                common_step=jnp.asarray(blob["common_step"]))
+            self.world, self.obs_dict = self.env.get_observations(self.world)
+        else:
+            self.world = to_dev(blob["world"])
+            self.obs_dict = to_dev(blob["obs_dict"])
         return self
 
     # ------------------------------------------------------------------
