@@ -122,11 +122,35 @@ def main():
     obs_n = rms_norm(ts.obs_rms, obs)
     it0 = 0
     if args.resume:
-        with open(args.resume, "rb") as f:
+        opener = (__import__("gzip").open if args.resume.endswith(".gz")
+                  else open)
+        with opener(args.resume, "rb") as f:
             blob = pickle.load(f)
         to_dev = lambda t: jax.tree.map(jnp.asarray, t)
-        ts, world, obs_n = (to_dev(blob["ts"]), to_dev(blob["world"]),
-                            to_dev(blob["obs_n"]))
+        if blob.get("slim"):
+            # slim checkpoint (tools/slim_checkpoint.py): learner + CaT +
+            # terrain levels survive; env arrays restart fresh at the
+            # promoted levels
+            ts = to_dev(blob["ts"])
+            n = env.num_envs
+
+            def fit_n(a):          # adapt per-env arrays to the new env count
+                a = np.asarray(a)
+                return jnp.asarray(np.resize(a, (n,) + a.shape[1:]))
+
+            ts = ts.replace(next_done=jnp.zeros((n,), jnp.float32),
+                            next_true_done=jnp.zeros((n,), jnp.float32))
+            world = world.replace(
+                cat=to_dev(blob["cat"]),
+                soft_p_progress=jnp.asarray(blob["soft_p_progress"]),
+                common_step=jnp.asarray(blob["common_step"]))
+            world = env.restore_terrain_state(
+                world, fit_n(blob["terrain_level"]),
+                fit_n(blob["terrain_type"]))
+            obs_n = rms_norm(ts.obs_rms, env.get_observations(world))
+        else:
+            ts, world, obs_n = (to_dev(blob["ts"]), to_dev(blob["world"]),
+                                to_dev(blob["obs_n"]))
         # continue global iteration numbering across resume chunks so the
         # terrain-level curve in metrics.csv is one continuous series
         it0 = int(blob.get("iteration", 0))

@@ -246,3 +246,34 @@ def test_parkour_determinism(parkour_env):
     assert (np.asarray(o1) == np.asarray(o2)).all()
     assert (np.asarray(r1) == np.asarray(r2)).all()
     assert (np.asarray(p1) == np.asarray(p2)).all()
+
+
+@pytest.mark.slow
+def test_slim_checkpoint_restores_terrain_levels(tmp_path):
+    """Stack-B slim checkpoints carry per-env terrain levels + CaT state;
+    restore_terrain_state re-seats envs at their promoted levels."""
+    import pickle
+
+    cfg = ParkourCfg(num_envs=6, episode_length_s=2.0,
+                     terrain=ParkourTerrainCfg(num_levels=4, num_terrains=2,
+                                               easy_mode=True,
+                                               border_size=4.0))
+    env = ParkourEnv(cfg, load_robot("go2"), seed=0)
+    world = env.init_state(jax.random.PRNGKey(0))
+    lvl = jnp.array([0, 1, 2, 3, 1, 2], jnp.int32)
+    typ = jnp.array([0, 1, 0, 1, 0, 1], jnp.int32)
+    world2 = env.restore_terrain_state(world, lvl, typ)
+    np.testing.assert_array_equal(np.asarray(world2.env.terrain_level), lvl)
+    np.testing.assert_array_equal(np.asarray(world2.env.terrain_type), typ)
+    # robots actually sit at their level's origin
+    np.testing.assert_allclose(
+        np.asarray(world2.env.env_origin),
+        np.asarray(env.terrain_origins[lvl, typ]))
+    dist = np.linalg.norm(
+        np.asarray(world2.env.phys.base_pos[:, :2]
+                   - world2.env.env_origin[:, :2]), axis=1)
+    assert (dist < 1.5).all()
+    # and the env still steps
+    world3, obs, rew, done, info = env.step(
+        world2, jnp.zeros((6, env.num_actions)))
+    assert np.isfinite(np.asarray(obs)).all()

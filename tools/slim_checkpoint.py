@@ -32,19 +32,34 @@ def main():
     with open(args.full, "rb") as f:
         blob = pickle.load(f)
     world = blob["world"]
-    slim = {
-        "slim": True,
-        "ts": blob["ts"],
-        "curriculum": world.curriculum,
-        "common_step": world.common_step,
-        "cfg": blob.get("cfg"),
-    }
+    if "obs_n" in blob:
+        # Stack B (train_parkour): keep the CaT state + per-env curriculum
+        # levels beside the learner state
+        slim = {
+            "slim": True,
+            "stack": "b",
+            "ts": blob["ts"],
+            "terrain_level": world.env.terrain_level,
+            "terrain_type": world.env.terrain_type,
+            "cat": world.cat,
+            "soft_p_progress": world.soft_p_progress,
+            "common_step": world.common_step,
+            "iteration": blob.get("iteration", 0),
+        }
+    else:
+        slim = {
+            "slim": True,
+            "ts": blob["ts"],
+            "curriculum": world.curriculum,
+            "common_step": world.common_step,
+            "cfg": blob.get("cfg"),
+        }
     with gzip.open(args.slim, "wb", compresslevel=6) as f:
         pickle.dump(slim, f)
     mb = os.path.getsize(args.slim) / 1e6
+    it = int(blob.get("iteration", 0) or getattr(blob["ts"], "iteration", 0))
     print(f"{args.slim}: {mb:.1f} MB (from "
-          f"{os.path.getsize(args.full) / 1e6:.1f} MB), iteration "
-          f"{int(blob['ts'].iteration)}")
+          f"{os.path.getsize(args.full) / 1e6:.1f} MB), iteration {it}")
 
 
 if __name__ == "__main__":

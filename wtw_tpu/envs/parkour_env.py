@@ -959,8 +959,27 @@ class ParkourEnv:
             terrain_level=lvl, env_origin=origins,
             move_up_flag=jnp.where(mask, False, env.move_up_flag))
 
+    def restore_terrain_state(self, world, terrain_level, terrain_type=None):
+        """Re-seat every env at the given curriculum levels (and optionally
+        types) and hard-reset them there — used by slim-checkpoint resume,
+        where the learner state survives a round boundary but env arrays
+        restart fresh and would otherwise lose the promoted levels."""
+        env = world.env
+        lvl = jnp.asarray(terrain_level)
+        typ = (env.terrain_type if terrain_type is None
+               else jnp.asarray(terrain_type))
+        env = env.replace(terrain_level=lvl, terrain_type=typ,
+                          env_origin=self.terrain_origins[lvl, typ],
+                          move_up_flag=jnp.zeros_like(env.move_up_flag))
+        env = self._reset_envs_at_origin(
+            env, jnp.ones(lvl.shape[0], bool))
+        return world.replace(env=env)
+
     def _reset_envs(self, env: ParkourEnvState, mask):
         env = self._update_terrain_level(env, mask)
+        return self._reset_envs_at_origin(env, mask)
+
+    def _reset_envs_at_origin(self, env: ParkourEnvState, mask):
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 11))(env.rng)
         new_phys = jax.vmap(self._reset_phys)(keys, env.env_origin)
         kdr = jax.vmap(lambda k: jax.random.fold_in(k, 13))(env.rng)
