@@ -36,7 +36,9 @@ def build_env(num_envs, seed, terrain="mixed", easy_mode=False,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["generate", "train"])
+    ap.add_argument("mode", choices=["generate", "train", "eval"])
+    ap.add_argument("--student", default=None,
+                    help="eval: vision_student.pkl from the train stage")
     ap.add_argument("--checkpoint", default=None,
                     help="parkour cat_ppo state_*.pkl for the expert")
     ap.add_argument("--demos", default=None, help="demo buffer .pkl")
@@ -87,6 +89,85 @@ def main():
             pickle.dump(jax.device_get(buf), f)
         print(f"demo buffer ({int(buf.filled)} steps x {env.num_envs} envs) "
               f"-> {out}")
+    elif args.mode == "eval":
+        # roll the depth student (or, with --checkpoint, the proprioceptive
+        # expert) and report the parkour success metrics: mean episode
+        # length, per-step velocity reward, and track-crossing rate
+        # (dist > 0.8 track_length at termination — the promotion criterion,
+        # go2_parkour.py:1158-1186)
+        import json
+
+        import numpy as np
+
+        from wtw_tpu.envs.depth import DepthCameraCfg, make_depth_fn
+
+        if args.student:
+            with open(args.student, "rb") as f:
+                sp = jax.tree.map(jnp.asarray, pickle.load(f))
+            render = make_depth_fn(
+                env.hf, DepthCameraCfg(height=ddpg_args.vis_hw,
+                                       width=ddpg_args.vis_hw),
+                model=env.model)
+
+            @jax.jit
+            def step_fn(world, obs, hidden, vlat, step):
+                vobs = render(world.env.phys.base_pos,
+                              world.env.phys.base_quat,
+                              world.env.phys.joint_q)
+                vlat = jnp.where(
+                    step % ddpg_args.vision_update_interval == 0,
+                    D.vision_apply(sp["vision"], vobs), vlat)
+                proprio = obs[:, :ddpg_args.proprio_dim]
+                acts, hidden = D.actor_apply(sp["actor"], proprio, vlat,
+                                             hidden, ddpg_args)
+                dist = jnp.linalg.norm(
+                    world.env.phys.base_pos[:, :2]
+                    - world.env.env_origin[:, :2], axis=1)
+                world, obs, rew, done, info = env.step(world, acts)
+                td = info["true_dones"].astype(jnp.float32)
+                hidden = hidden * (1.0 - td)[:, None]
+                return world, obs, hidden, vlat, rew, td, dist
+        else:
+            assert args.checkpoint, "--student or --checkpoint required"
+            with open(args.checkpoint, "rb") as f:
+                blob = pickle.load(f)
+            ts = jax.tree.map(jnp.asarray, blob["ts"])
+
+            @jax.jit
+            def step_fn(world, obs, hidden, vlat, step):
+                acts = get_action_mean(ts.params, rms_norm(ts.obs_rms, obs))
+                dist = jnp.linalg.norm(
+                    world.env.phys.base_pos[:, :2]
+                    - world.env.env_origin[:, :2], axis=1)
+                world, obs, rew, done, info = env.step(world, acts)
+                td = info["true_dones"].astype(jnp.float32)
+                return world, obs, hidden, vlat, rew, td, dist
+
+        world = env.init_state(jax.random.PRNGKey(args.seed))
+        obs = env.get_observations(world)
+        N = env.num_envs
+        hidden = jnp.zeros((N, ddpg_args.rnn_hidden))
+        vlat = jnp.zeros((N, ddpg_args.vision_latent))
+        n_done = n_cross = 0.0
+        rews, steps_alive = [], 0.0
+        for step in range(args.steps):
+            world, obs, hidden, vlat, rew, td, dist = step_fn(
+                world, obs, hidden, vlat, step)
+            td, dist = np.asarray(td), np.asarray(dist)
+            n_done += td.sum()
+            n_cross += (td * (dist > 0.8 * env.track_length)).sum()
+            steps_alive += N
+            rews.append(float(jnp.mean(rew)))
+        out = {
+            "policy": "student" if args.student else "expert",
+            "num_envs": N, "steps": args.steps,
+            "mean_step_reward": round(float(np.mean(rews)), 4),
+            "mean_episode_len_s": round(
+                float(steps_alive / max(n_done, 1) * env.dt), 2),
+            "episodes": int(n_done),
+            "track_cross_rate": round(float(n_cross / max(n_done, 1)), 4),
+        }
+        print(json.dumps(out))
     else:
         assert args.demos, "--demos required for train"
         with open(args.demos, "rb") as f:
