@@ -100,3 +100,43 @@ def train_actuator_network(xs: np.ndarray, ys: np.ndarray, *,
 
 def save_actuator_network(params, path: str):
     np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def _main():
+    """CLI analog of scripts/actuator_net/train.py: fit the torque model
+    from a log and export the .npz.
+
+        python -m wtw_tpu.learn.actuator_train --log episode.pkl --out net.npz
+
+    The log is a pickle (deploy/logger.py episode format or any dict) with
+    (T, 12) arrays: joint_pos_target, joint_pos, joint_vel, tau_est."""
+    import argparse
+    import pickle
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log", required=True,
+                    help="episode .pkl with joint_pos_target/joint_pos/"
+                         "joint_vel/tau_est arrays")
+    ap.add_argument("--out", default="actuator_net.npz")
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    with open(args.log, "rb") as f:
+        log = pickle.load(f)
+    arrs = {k: np.asarray(log[k], np.float32)
+            for k in ("joint_pos_target", "joint_pos", "joint_vel",
+                      "tau_est")}
+    g = 2
+    x = build_features(arrs["joint_pos_target"], arrs["joint_pos"],
+                       arrs["joint_vel"], history_gap=g)
+    xs = x.reshape(-1, 6)
+    ys = arrs["tau_est"][2 * g:].reshape(-1)     # align with the t0 slice
+    params, mae = train_actuator_network(xs, ys, epochs=args.epochs,
+                                         seed=args.seed)
+    save_actuator_network(params, args.out)
+    print(f"{args.out}: test MAE {mae:.4f} NM over {len(ys)} samples")
+
+
+if __name__ == "__main__":
+    _main()
