@@ -191,6 +191,15 @@ class ControlCfg:
     action_scale: float = 0.25
     hip_scale_reduction: float = 0.5
     decimation: int = 4
+    # reuse the policy-step-start terrain corner rows across the decimation
+    # substeps (NOT in the reference — a TPU optimization: the per-substep
+    # heightfield gather was ~14% of device step time; spheres move ~5 mm
+    # per substep vs ≥0.1 m terrain cells, and bilinear patches are C0-
+    # continuous across cell edges, so the extrapolation error when a
+    # sphere crosses a cell mid-step is ≪1 cm of height). Only affects
+    # non-flat terrain with the batched engine; False restores the exact
+    # per-substep gather.
+    hf_substep_cache: bool = True
 
 
 @dataclass(frozen=True)

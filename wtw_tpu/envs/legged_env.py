@@ -471,26 +471,41 @@ class LeggedEnv:
                 world.env.rng)
             actions_scaled = actions * self.action_scale_vec
 
-            def substep_b(carry, _):
+            def substep_b(carry, _, hf_cache=None, return_hf_cache=False):
                 s_in = carry
                 tau, lag, target, hist = self._compute_torques(
                     s_in, actions_scaled, batched=True)
-                phys, cinfo = physics_step_batched(
+                res = physics_step_batched(
                     model, self.hf, self.engine_params, s_in.phys, tau,
                     s_in.friction, s_in.restitution,
                     payload_mass=s_in.payload,
                     com_offset=s_in.com_displacement,
                     external_accel=grav_off,
-                    backend=self.physics_backend)
+                    backend=self.physics_backend,
+                    hf_cache=hf_cache, return_hf_cache=return_hf_cache)
+                phys, cinfo = res[0], res[1]
                 s_out = s_in.replace(phys=phys, lag_buffer=lag,
                                      joint_pos_target=target, torques=tau,
                                      **hist)
+                if return_hf_cache:
+                    return s_out, cinfo, res[2]
                 return s_out, cinfo
 
-            env, cinfos = jax.lax.scan(
-                substep_b, world.env.replace(actions=actions), None,
-                length=cfg.control.decimation)
-            cinfo = jax.tree.map(lambda x: x[-1], cinfos)
+            if cfg.control.hf_substep_cache and not self.hf.is_flat:
+                # Python-unrolled substeps: gather terrain corners at
+                # substep 0, reuse for the rest of the policy step
+                s_c = world.env.replace(actions=actions)
+                s_c, cinfo, hfc = substep_b(s_c, None, return_hf_cache=True)
+                for _ in range(cfg.control.decimation - 1):
+                    s_c, cinfo = substep_b(s_c, None, hf_cache=hfc)
+                env = s_c
+            else:
+                # flat terrain: the gather is a compile-time constant —
+                # keep the compact scan form
+                env, cinfos = jax.lax.scan(
+                    substep_b, world.env.replace(actions=actions), None,
+                    length=cfg.control.decimation)
+                cinfo = jax.tree.map(lambda x: x[-1], cinfos)
         else:
             def env_step(s: EnvState, action: jnp.ndarray):
                 k_next = jax.random.fold_in(s.rng, 3)

@@ -123,6 +123,9 @@ class ParkourCfg:
     damping: float = 0.5
     action_scale: float = 0.25
     decimation: int = 4
+    # reuse policy-step-start terrain corner rows across the decimation
+    # substeps (see ControlCfg.hf_substep_cache in config.py)
+    hf_substep_cache: bool = True
     torque_clip: float = 100.0        # hard clip (pre_physics_step :1237)
     # rewards (learn block)
     lin_vel_xy_scale: float = 1.0
@@ -551,20 +554,32 @@ class ParkourEnv:
             k_next = jax.vmap(lambda k: jax.random.fold_in(k, 3))(
                 world.env.rng)
 
-            def substep_b(carry, _):
+            def substep_b(carry, _, hf_cache=None, return_hf_cache=False):
                 s_in = carry
                 tau, hist = compute_tau(s_in, actions)
-                phys, cinfo = physics_step_batched(
+                res = physics_step_batched(
                     model, self.hf, self.engine_params, s_in.phys, tau,
                     s_in.friction, jnp.float32(0.0),
                     hf_ceiling=self.hf_ceiling,
-                    backend=self.physics_backend)
-                return s_in.replace(phys=phys, torques=tau, **hist), cinfo
+                    backend=self.physics_backend,
+                    hf_cache=hf_cache, return_hf_cache=return_hf_cache)
+                s_out = s_in.replace(phys=res[0], torques=tau, **hist)
+                return (s_out, res[1], res[2]) if return_hf_cache \
+                    else (s_out, res[1])
 
-            env, cinfos = jax.lax.scan(
-                substep_b, world.env.replace(actions=actions), None,
-                length=cfg.decimation)
-            cinfo = jax.tree.map(lambda x: x[-1], cinfos)
+            if getattr(cfg, "hf_substep_cache", True) and not self.hf.is_flat:
+                # unrolled substeps reusing the policy-step-start terrain
+                # corner rows (see ControlCfg.hf_substep_cache)
+                s_c = world.env.replace(actions=actions)
+                s_c, cinfo, hfc = substep_b(s_c, None, return_hf_cache=True)
+                for _ in range(cfg.decimation - 1):
+                    s_c, cinfo = substep_b(s_c, None, hf_cache=hfc)
+                env = s_c
+            else:
+                env, cinfos = jax.lax.scan(
+                    substep_b, world.env.replace(actions=actions), None,
+                    length=cfg.decimation)
+                cinfo = jax.tree.map(lambda x: x[-1], cinfos)
         else:
             def env_step(s: ParkourEnvState, action):
                 k_next = jax.random.fold_in(s.rng, 3)

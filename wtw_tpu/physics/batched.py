@@ -490,7 +490,10 @@ def dynamics_core(st: _Static, I: Dict) -> Dict:
            m(m(h01, one_du), dv), m(m(h11, du), dv))
     dhdx = m(ad(m(sb(h10, h00), one_dv), m(sb(h11, h01), dv)), inv_s)
     dhdy = m(ad(m(sb(h01, h00), one_du), m(sb(h11, h10), du)), inv_s)
-    inv_n = jax.lax.rsqrt(ad(m(dhdx, dhdx), m(dhdy, dhdy), 1.0))
+    nn = ad(m(dhdx, dhdx), m(dhdy, dhdy), 1.0)
+    # flat terrain folds dhdx=dhdy=0.0 -> the whole normal/tangent algebra
+    # collapses to the vertical-contact special case at compile time
+    inv_n = nn ** -0.5 if _isc(nn) else jax.lax.rsqrt(nn)
     radius = kconst(st.sph_radius, batch_shape)
     n_g = [m(m(-1.0, dhdx), inv_n), m(m(-1.0, dhdy), inv_n), inv_n]
     depth_g = sb(ad(h, radius), xp[2])
@@ -703,24 +706,71 @@ def dynamics_core(st: _Static, I: Dict) -> Dict:
 # ---------------------------------------------------------------------------
 
 
-def _hf_rows(hf: HeightField, x, y):
-    """x/y: (P, B) sphere xy -> 4 corner-row components + du, dv (P, B)."""
+def _hf_uv(hf: HeightField, x, y):
+    """Clipped continuous cell coordinates (same clamp as the gather)."""
     H, W = hf.heights.shape
     u = jnp.clip((x - hf.origin[0]) / hf.horizontal_scale, 0.0, H - 1.001)
     v = jnp.clip((y - hf.origin[1]) / hf.horizontal_scale, 0.0, W - 1.001)
-    u0 = jnp.floor(u).astype(jnp.int32)
-    v0 = jnp.floor(v).astype(jnp.int32)
-    du, dv = u - u0, v - v0
-    hc = jnp.take(hf.corners, u0 * W + v0, axis=0)   # (P, B, 4)
-    return [hc[..., 0], hc[..., 1], hc[..., 2], hc[..., 3]], du, dv
+    return u, v
 
 
-def _hf_height(hf: HeightField, x, y):
+def _hf_gather(hf: HeightField, x, y):
+    """x/y: (P, B) sphere xy -> (u0f, v0f, [h00,h10,h01,h11]) with u0f/v0f
+    the f32 cell coordinates the corners were gathered at (cache anchor)."""
+    u, v = _hf_uv(hf, x, y)
+    u0f, v0f = jnp.floor(u), jnp.floor(v)
+    W = hf.heights.shape[1]
+    base = u0f.astype(jnp.int32) * W + v0f.astype(jnp.int32)
+    hc = jnp.take(hf.corners, base, axis=0)          # (P, B, 4)
+    return u0f, v0f, [hc[..., 0], hc[..., 1], hc[..., 2], hc[..., 3]]
+
+
+def _hf_rows(hf: HeightField, x, y, cached=None):
+    """Corner rows + in-cell offsets for the dynamics kernel.
+
+    Three regimes, cheapest first:
+    - constant grid (hf.is_flat): Python-float constants — folded into the
+      kernel, no gather, no memory traffic;
+    - `cached` = (u0f, v0f, hc) from hf_gather_cache: reuse the corner rows
+      gathered at the policy-step start and only recompute du/dv against
+      the cached cell (bilinear patches are C0-continuous across cell
+      edges, so the ≲1 substep of extrapolation when a sphere crosses a
+      cell is a ≪1 cm height error);
+    - full per-substep row gather (exact).
+    """
+    if hf.is_flat:
+        h0 = hf.flat_value
+        return [h0, h0, h0, h0], 0.0, 0.0
+    if cached is not None:
+        u0f, v0f, hc = cached
+        u, v = _hf_uv(hf, x, y)
+        return hc, u - u0f, v - v0f
+    u0f, v0f, hc = _hf_gather(hf, x, y)
+    u, v = _hf_uv(hf, x, y)
+    return hc, u - u0f, v - v0f
+
+
+def _hf_height(hf: HeightField, x, y, cached=None):
     """Bilinear heights only (ceiling query): (P, B) -> (P, B)."""
-    hc, du, dv = _hf_rows(hf, x, y)
+    hc, du, dv = _hf_rows(hf, x, y, cached=cached)
     h00, h10, h01, h11 = hc
+    if hf.is_flat:
+        return h00
     return (h00 * (1 - du) * (1 - dv) + h10 * du * (1 - dv)
             + h01 * (1 - du) * dv + h11 * du * dv)
+
+
+def hf_gather_cache(hf: HeightField, xp_g,
+                    hf_ceiling: Optional[HeightField] = None):
+    """Gather terrain (and ceiling) corner rows ONCE at the current sphere
+    positions, for reuse across the decimation substeps of one policy step
+    via physics_step_batched(hf_cache=...). Flat grids need no cache."""
+    cache = {}
+    if not hf.is_flat:
+        cache["g"] = _hf_gather(hf, xp_g[0], xp_g[1])
+    if hf_ceiling is not None and not hf_ceiling.is_flat:
+        cache["c"] = _hf_gather(hf_ceiling, xp_g[0], xp_g[1])
+    return cache
 
 
 # ---------------------------------------------------------------------------
@@ -984,10 +1034,17 @@ def physics_step_batched(model: RobotModel, hf: HeightField,
                          payload_mass=None, com_offset=None,
                          external_accel=None,
                          hf_ceiling: Optional[HeightField] = None,
-                         backend: str = "auto"):
+                         backend: str = "auto",
+                         hf_cache=None, return_hf_cache: bool = False):
     """Batched drop-in for `vmap(physics_step)`: state fields carry a
     leading (B,) env axis; returns (PhysicsState, ContactInfo) with the same
-    batch axis. backend: 'auto' | 'xla' | 'pallas'."""
+    batch axis. backend: 'auto' | 'xla' | 'pallas'.
+
+    hf_cache: corner-row cache from hf_gather_cache (or a previous call
+    with return_hf_cache=True) — reuses the policy-step-start terrain rows
+    instead of re-gathering per decimation substep (the gather was ~14% of
+    MoB device step time). return_hf_cache: additionally return the cache
+    gathered at THIS call's sphere positions as a third output."""
     st = _Static(model, params)
     B = state.joint_q.shape[0]
     if backend == "auto":
@@ -1015,10 +1072,12 @@ def physics_step_batched(model: RobotModel, hf: HeightField,
         xp, _R = sphere_pos_core(st, body_pos, body_quat)
         xp_g = xp
 
-    hc, du, dv = _hf_rows(hf, xp_g[0], xp_g[1])
+    cache = hf_cache or {}
+    hc, du, dv = _hf_rows(hf, xp_g[0], xp_g[1], cached=cache.get("g"))
     ceil_h = None
     if hf_ceiling is not None:
-        ceil_h = _hf_height(hf_ceiling, xp_g[0], xp_g[1])
+        ceil_h = _hf_height(hf_ceiling, xp_g[0], xp_g[1],
+                            cached=cache.get("c"))
 
     zero = jnp.zeros((B,), jnp.float32)
     g_ext = None
@@ -1063,4 +1122,7 @@ def physics_step_batched(model: RobotModel, hf: HeightField,
         calf_contact=stk(out["calf_contact"]),
         base_contact=jnp.broadcast_to(out["base_contact"], (B,)),
         total_normal_force=jnp.broadcast_to(out["total_normal_force"], (B,)))
+    if return_hf_cache:
+        # the uncached path's own gather is identical — XLA CSE merges them
+        return new_state, info, hf_gather_cache(hf, xp_g, hf_ceiling)
     return new_state, info

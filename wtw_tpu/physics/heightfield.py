@@ -8,7 +8,11 @@ representation here. One heightfield is shared by all envs on a device.
 """
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
@@ -26,6 +30,15 @@ class HeightField:
     # op of the engine. Built by make_heightfield; None falls back to
     # scalar gathers.
     corners: Optional[jnp.ndarray] = None
+    # static: heights is a constant grid (e.g. flat ground). Lets the
+    # engine replace the per-substep corner gather with a compile-time
+    # constant — the gather was the hottest XLA op of the MoB training
+    # step (~14% of device time at 4096 envs) and is identically zero on
+    # the flagship flat-ground workload.
+    is_flat: bool = struct.field(pytree_node=False, default=False)
+    # static: the constant height when is_flat (usable even when `heights`
+    # is a tracer, e.g. inside jit)
+    flat_value: float = struct.field(pytree_node=False, default=0.0)
 
     @property
     def shape(self):
@@ -45,11 +58,19 @@ def pack_corners(heights: jnp.ndarray) -> jnp.ndarray:
 
 def make_heightfield(heights, scale, origin) -> HeightField:
     heights = jnp.asarray(heights, jnp.float32)
+    flat, fval = False, 0.0
+    if os.environ.get("WTW_NO_FLAT_HF"):      # escape hatch: force gathers
+        pass
+    elif not isinstance(heights, jax.core.Tracer):
+        h = np.asarray(heights)
+        flat = bool(np.all(h == h.flat[0]))
+        fval = float(h.flat[0]) if flat else 0.0
     return HeightField(
         heights=heights,
         horizontal_scale=jnp.float32(scale),
         origin=jnp.asarray(origin, jnp.float32),
-        corners=pack_corners(heights))
+        corners=pack_corners(heights),
+        is_flat=flat, flat_value=fval)
 
 
 def flat_heightfield(extent: float = 40.0, scale: float = 0.5) -> HeightField:
