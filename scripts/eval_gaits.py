@@ -57,8 +57,10 @@ def main():
         return mean
 
     def command_vec(gait, freq):
-        gait_cmd = {"trot": (0.5, 0.0, 0.0), "pace": (0.0, 0.5, 0.0),
-                    "bound": (0.0, 0.0, 0.5), "pronk": (0.0, 0.0, 0.0)}
+        # (phase, offset, bound) per reference scripts/go1/play.py:102-105:
+        # trotting=[.5,0,0], bounding=[0,.5,0], pacing=[0,0,.5]
+        gait_cmd = {"trot": (0.5, 0.0, 0.0), "bound": (0.0, 0.5, 0.0),
+                    "pace": (0.0, 0.0, 0.5), "pronk": (0.0, 0.0, 0.0)}
         c = np.zeros(cfg.commands.num_commands, np.float32)
         c[0] = args.vx
         c[4] = freq

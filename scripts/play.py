@@ -85,8 +85,10 @@ def main():
     if nc > 2:
         commands[2] = args.yaw
     if nc >= 15:
-        gait_cmd = {"trot": (0.5, 0.0, 0.0), "pace": (0.0, 0.5, 0.0),
-                    "bound": (0.0, 0.0, 0.5), "pronk": (0.0, 0.0, 0.0)}
+        # (phase, offset, bound) per reference scripts/go1/play.py:102-105:
+        # trotting=[.5,0,0], bounding=[0,.5,0], pacing=[0,0,.5]
+        gait_cmd = {"trot": (0.5, 0.0, 0.0), "bound": (0.0, 0.5, 0.0),
+                    "pace": (0.0, 0.0, 0.5), "pronk": (0.0, 0.0, 0.0)}
         commands[4] = args.freq                     # step frequency
         commands[5:8] = gait_cmd[args.gait]         # phase/offset/bound
         commands[8] = 0.5     # duration

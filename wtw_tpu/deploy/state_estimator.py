@@ -162,7 +162,9 @@ class StateEstimator:
         elif mode_right == "body_pitch":
             cmd_ori_pitch = -0.4 * self.right_stick[1]
 
-        # gait buttons: pronk / trot / pace / bound (:193-219)
+        # gait buttons: trot / pronk / bound / pace (:193-219; the offset
+        # dim commands bounding and the bound dim pacing — see the gait
+        # dicts in reference scripts/go1/play.py:102-105)
         gaits = {0: (0.5, 0.0, 0.0), 1: (0.0, 0.0, 0.0),
                  2: (0.0, 0.5, 0.0), 3: (0.0, 0.0, 0.5)}
         self.cmd_phase, self.cmd_offset, self.cmd_bound = gaits.get(
