@@ -1,42 +1,107 @@
 #!/bin/bash
-# Round-2 night supervisor: serializes the remaining TPU work after the
-# flagship MoB run finishes (only ONE process may own the TPU — see
-# .claude/skills/verify/SKILL.md). Safe to re-run; each stage skips if its
-# artifact already exists. Launch detached:
+# Round-2 night supervisor (v2): the host has ONE CPU core and the TPU
+# accepts ONE client, so every remaining stage must run strictly
+# sequentially. Stages are guarded by artifact existence, so the script
+# is safe to re-run after a crash. Launch detached:
 #   setsid nohup bash scripts/night_r2.sh > /tmp/night_r2.log 2>&1 < /dev/null &
 set -u
 cd "$(dirname "$0")/.."
 MOB_LOG=${MOB_LOG:-/tmp/chunk_train_r2b2.log}
+MOB_RUN=runs/go1_mob_r2b
+PK_RUN=runs/parkour_promo_r2
 
-echo "[night] waiting for MoB chunk driver ($MOB_LOG) $(date +%H:%M:%S)"
+stamp() { echo "[night] $* $(date +%H:%M:%S)"; }
+
+stamp "waiting for MoB chunk driver ($MOB_LOG)"
 while ! grep -q 'chunk_train\] done' "$MOB_LOG" 2>/dev/null; do sleep 30; done
-echo "[night] MoB driver done $(date +%H:%M:%S)"
+stamp "MoB driver done"
 
-# Stage 1: headline benchmark at HEAD (flat-fold + corner cache included)
+# Stage A1: headline benchmark at HEAD (flat-fold + corner cache included)
 if [ ! -s /tmp/bench_r2_post.json ]; then
-    echo "[night] bench $(date +%H:%M:%S)"
+    stamp "bench"
     python bench.py --num-envs 4096 --iters 5 --warmup 2 \
         > /tmp/bench_r2_post.json 2>/tmp/bench_r2_post.log
-    echo "[night] bench rc=$? $(date +%H:%M:%S)"; cat /tmp/bench_r2_post.json
+    stamp "bench rc=$?"; cat /tmp/bench_r2_post.json
 fi
 
-# Stage 2: profile window (what is hot now that the gather is folded)
+# Stage A2: profile window (what is hot now that the gather is folded)
 if [ ! -s /tmp/profile_r2.txt ]; then
-    echo "[night] profile $(date +%H:%M:%S)"
+    stamp "profile"
     python tools/profile_step.py --mode train --num-envs 4096 --top 25 \
         > /tmp/profile_r2.txt 2>&1
-    echo "[night] profile rc=$? $(date +%H:%M:%S)"
+    stamp "profile rc=$?"
 fi
 
-# Stage 3: parkour terrain-level promotion run (VERDICT r1 item 5).
+# Stage B: final MoB evals on CPU while the TPU is idle (CPU evals must
+# NEVER overlap TPU training on this 1-core host)
+if [ ! -s "$MOB_RUN/final_eval_done" ]; then
+    for it in 80000 90000 100000; do
+        ck="$MOB_RUN/checkpoints/state_${it}.pkl"
+        [ -f "$ck" ] || continue
+        stamp "eval_gaits $it"
+        python scripts/eval_gaits.py --checkpoint "$ck" --cpu --steps 250 \
+            --num-envs 16 --out "$MOB_RUN/gait_evals.jsonl" \
+            >> "$MOB_RUN/gait_evals.log" 2>&1
+    done
+    stamp "play tracking eval"
+    CK=$(ls -t "$MOB_RUN"/checkpoints/state_*.pkl | head -1)
+    python scripts/play.py --checkpoint "$CK" --cpu --num-envs 32 \
+        --steps 250 --vx 0.5 --gait-stats \
+        > "$MOB_RUN/final_play_eval.json" 2>>"$MOB_RUN/gait_evals.log"
+    touch "$MOB_RUN/final_eval_done"
+    stamp "MoB evals done"
+fi
+
+# Stage C: parkour terrain-level promotion run (VERDICT r1 item 5).
 # STOP at any chunk boundary: touch runs/parkour_promo_r2/STOP
-if [ ! -f runs/parkour_promo_r2/SKIP ]; then
-    echo "[night] parkour promotion run $(date +%H:%M:%S)"
+if [ ! -f "$PK_RUN/SKIP" ] && [ ! -f "$PK_RUN/STOP" ]; then
+    stamp "parkour promotion run"
     TRAIN=scripts/train_parkour.py bash scripts/chunk_train.sh \
-        runs/parkour_promo_r2 1500 6 \
+        "$PK_RUN" 1500 6 \
         --num-envs 2048 --easy-mode --terrain mixed \
         --set only_forwards=true --set only_forwards_velocity=0.8 \
         --save-interval 500 --log-freq 50
-    echo "[night] parkour driver exited $(date +%H:%M:%S)"
+    stamp "parkour driver exited"
 fi
-echo "[night] all stages done $(date +%H:%M:%S)"
+
+# Stage D: vision pipeline at scale from the parkour expert
+# (VERDICT r1 item 7). Guarded per sub-stage.
+VZ=runs/vision_r2
+PKCK=$(ls -t "$PK_RUN"/state_*.pkl 2>/dev/null | head -1)
+if [ -n "${PKCK:-}" ]; then
+    mkdir -p "$VZ"
+    if [ ! -s "$VZ/rb_demos.pkl" ]; then
+        stamp "vision generate ($PKCK)"
+        python scripts/train_vision.py generate --checkpoint "$PKCK" \
+            --num-envs 1024 --steps 512 --terrain mixed --easy-mode \
+            --set only_forwards=true --set only_forwards_velocity=0.8 \
+            --out "$VZ" > "$VZ/generate.log" 2>&1
+        stamp "generate rc=$?"
+    fi
+    if [ -s "$VZ/rb_demos.pkl" ] && [ ! -s "$VZ/vision_student.pkl" ]; then
+        stamp "vision train"
+        python scripts/train_vision.py train --demos "$VZ/rb_demos.pkl" \
+            --checkpoint "$PKCK" --num-envs 1024 --env-steps 262144 \
+            --terrain mixed --easy-mode \
+            --set only_forwards=true --set only_forwards_velocity=0.8 \
+            --out "$VZ" > "$VZ/train.log" 2>&1
+        stamp "train rc=$?"
+    fi
+    if [ -s "$VZ/vision_student.pkl" ] && [ ! -s "$VZ/eval.json" ]; then
+        stamp "vision eval"
+        python scripts/train_vision.py eval --student "$VZ/vision_student.pkl" \
+            --checkpoint "$PKCK" --num-envs 1024 --steps 512 \
+            --terrain mixed --easy-mode \
+            --set only_forwards=true --set only_forwards_velocity=0.8 \
+            --out "$VZ" > "$VZ/eval.json" 2>"$VZ/eval.log"
+        stamp "eval rc=$?"
+    fi
+fi
+
+# Stage E: full test suite (TPU free, CPU free)
+if [ ! -s /tmp/pytest_r2_full.log ]; then
+    stamp "full pytest"
+    timeout 2700 python -m pytest tests/ -q > /tmp/pytest_r2_full.log 2>&1
+    stamp "pytest rc=$?"; tail -2 /tmp/pytest_r2_full.log
+fi
+stamp "all stages done — TPU free for the driver bench"
