@@ -34,7 +34,7 @@ fi
 
 # Stage B: final MoB evals on CPU while the TPU is idle (CPU evals must
 # NEVER overlap TPU training on this 1-core host)
-if [ ! -s "$MOB_RUN/final_eval_done" ]; then
+if [ ! -f "$MOB_RUN/final_eval_done" ]; then
     for it in 80000 90000 100000; do
         ck="$MOB_RUN/checkpoints/state_${it}.pkl"
         [ -f "$ck" ] || continue
