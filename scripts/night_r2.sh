@@ -8,7 +8,8 @@ set -u
 cd "$(dirname "$0")/.."
 MOB_LOG=${MOB_LOG:-/tmp/chunk_train_r2b2.log}
 MOB_RUN=runs/go1_mob_r2b
-PK_RUN=runs/parkour_promo_r2
+PK_RUN=runs/parkour_promo_r2b
+PK_CHUNKS=${PK_CHUNKS:-6}
 
 stamp() { echo "[night] $* $(date +%H:%M:%S)"; }
 
@@ -57,9 +58,10 @@ fi
 if [ ! -f "$PK_RUN/SKIP" ] && [ ! -f "$PK_RUN/STOP" ]; then
     stamp "parkour promotion run"
     TRAIN=scripts/train_parkour.py bash scripts/chunk_train.sh \
-        "$PK_RUN" 1500 6 \
+        "$PK_RUN" 1500 "$PK_CHUNKS" \
         --num-envs 2048 --easy-mode --terrain mixed \
         --set only_forwards=true --set only_forwards_velocity=0.8 \
+        --anneal-iterations $((1500 * PK_CHUNKS)) \
         --save-interval 500 --log-freq 50
     stamp "parkour driver exited"
 fi

@@ -39,6 +39,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-envs", type=int, default=4096)
     ap.add_argument("--iterations", type=int, default=8000)
+    ap.add_argument("--anneal-iterations", type=int, default=None,
+                    help="LR-anneal horizon in GLOBAL iterations. For "
+                         "chunked runs (chunk_train.sh) set this to the "
+                         "total run length; defaults to --iterations, which "
+                         "is only correct for single-session runs")
     ap.add_argument("--horizon", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--terrain", default="mixed", choices=TERRAIN_PRESETS)
@@ -86,25 +91,30 @@ def main():
         extra["reward_mode"] = args.reward_mode
     cfg = ParkourCfg(
         num_envs=args.num_envs,
-        soft_p_total_steps=args.horizon * args.iterations,
+        # soft_p ramps on the persistent common_step, so chunked runs must
+        # use the GLOBAL horizon or the constraint curriculum saturates
+        # after the first chunk
+        soft_p_total_steps=args.horizon * (args.anneal_iterations
+                                           or args.iterations),
         terrain=ParkourTerrainCfg(
             proportions=TERRAIN_PRESETS[args.terrain],
             easy_mode=args.easy_mode), **extra)
     from wtw_tpu.config import apply_overrides
     cfg = apply_overrides(cfg, args.set)
     env = ParkourEnv(cfg, load_robot(cfg.robot), seed=args.seed)
+    anneal_iters = args.anneal_iterations or args.iterations
     if args.algo == "ppo_plus":
         from wtw_tpu.learn import cat_ppo_plus as algo_mod
         ppo = algo_mod.PPOPlusArgs(num_steps=args.horizon,
-                                   num_iterations=args.iterations)
+                                   num_iterations=anneal_iters)
     elif args.algo == "ppornn":
         from wtw_tpu.learn import cat_ppornn as algo_mod
         ppo = algo_mod.RNNArgs(num_steps=args.horizon,
-                               num_iterations=args.iterations)
+                               num_iterations=anneal_iters)
     else:
         algo_mod = None
         ppo = CatPPOArgs(num_steps=args.horizon,
-                         num_iterations=args.iterations)
+                         num_iterations=anneal_iters)
 
     run_dir = args.run_dir or f"runs/parkour_{args.terrain}/seed{args.seed}"
     os.makedirs(run_dir, exist_ok=True)

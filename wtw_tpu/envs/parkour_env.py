@@ -127,6 +127,14 @@ class ParkourCfg:
     # substeps (see ControlCfg.hf_substep_cache in config.py)
     hf_substep_cache: bool = True
     torque_clip: float = 100.0        # hard clip (pre_physics_step :1237)
+    # divergence guard: PhysX clamps depenetration velocity, so the
+    # reference can never see a blown-up state; our implicit spring-damper
+    # solver can diverge for a single env on deep penetration at track
+    # discontinuities (gap/hurdle edges). A diverged env is terminated and
+    # reset like an instant fall; limits are far above any physical value
+    # so the guard never fires in healthy training.
+    divergence_lin_vel_limit: float = 100.0    # m/s
+    divergence_joint_vel_limit: float = 1000.0  # rad/s
     # rewards (learn block)
     lin_vel_xy_scale: float = 1.0
     ang_vel_z_scale: float = 0.5
@@ -604,6 +612,22 @@ class ParkourEnv:
         common_step = world.common_step + 1
 
         phys = env.phys
+        # ---- divergence guard (see ParkourCfg.divergence_*): a blown-up
+        # solver state would otherwise poison the CaT running maxes, the
+        # obs normalizer and the learner with NaN through the reward path.
+        # Detect it here, zero its reward/constraint contributions below,
+        # and hard-terminate so the masked reset restores finite state. ----
+        finite_state = (jnp.all(jnp.isfinite(phys.base_pos), -1)
+                        & jnp.all(jnp.isfinite(phys.base_quat), -1)
+                        & jnp.all(jnp.isfinite(phys.base_lin_vel), -1)
+                        & jnp.all(jnp.isfinite(phys.base_ang_vel), -1)
+                        & jnp.all(jnp.isfinite(phys.joint_q), -1)
+                        & jnp.all(jnp.isfinite(phys.joint_qd), -1))
+        in_bounds = ((jnp.max(jnp.abs(phys.base_lin_vel), -1)
+                      < cfg.divergence_lin_vel_limit)
+                     & (jnp.max(jnp.abs(phys.joint_qd), -1)
+                        < cfg.divergence_joint_vel_limit))
+        diverged = ~(finite_state & in_bounds)
         base_lin_vel = quat_util.quat_rotate_inverse(phys.base_quat,
                                                      phys.base_lin_vel)
         base_ang_vel = quat_util.quat_rotate_inverse(phys.base_quat,
@@ -760,15 +784,23 @@ class ParkourEnv:
             max_ps[n] = jnp.float32(1.0)
         max_ps["stumble"] = m_soft_p
 
+        # a diverged env contributes NOTHING to the constraint stream: its
+        # values would be NaN/inf and would permanently poison the Polyak
+        # running maxes carried in cat_state
+        def _zero_diverged(c):
+            m = diverged.reshape((N,) + (1,) * (c.ndim - 1))
+            return jnp.where(m, 0.0, c)
+
+        constraints = {n: _zero_diverged(c) for n, c in constraints.items()}
         cat_state, cstr_prob, viol = self.cstr.step(world.cat, constraints,
                                                     max_ps)
 
         # float dones for GAE + hard resets (:1021-1025)
-        done_prob = cstr_prob
+        done_prob = jnp.where(diverged, 1.0, cstr_prob)
         term_contacts = base_contact | (knee_contact_any
                                         & (not cfg.allow_knee_contacts))
         hard_done = (timed_out | (cstr_upsidedown > 0) | (cstr_lava > 0)
-                     | term_contacts | hard_base_height)
+                     | term_contacts | hard_base_height | diverged)
 
         # ---- reward ----
         robot_cmd = self._robot_command(phys.base_quat, env.commands)
@@ -777,6 +809,9 @@ class ParkourEnv:
         ang_err = jnp.square(env.commands[:, 2] - base_ang_vel[:, 2])
         rew_lin = jnp.exp(-lin_err / cfg.lin_vel_delta) * cfg.lin_vel_xy_scale
         rew_ang = jnp.exp(-ang_err / cfg.ang_vel_delta) * cfg.ang_vel_z_scale
+        # diverged envs: zero reward this step (lin_err is NaN/inf there)
+        rew_lin = jnp.where(diverged, 0.0, rew_lin)
+        rew_ang = jnp.where(diverged, 0.0, rew_ang)
         if cfg.reward_mode == "full":
             # full battery for the rough-terrain task without CaT
             # (go2_terrain.py compute_reward :1024-1090)
@@ -786,6 +821,8 @@ class ParkourEnv:
                 contacts_touchdown, feet_swing_time, rew_lin, rew_ang, rs)
         else:
             rew = jnp.clip(rew_lin, min=0.0)  # CaT: tracking only (:841-845)
+        # full-battery terms read raw torques/velocities, so mask again
+        rew = jnp.where(diverged, 0.0, rew)
 
         viol_vec = jnp.stack([viol[n] for n in self.cstr_names])
         episode_sums = env.episode_sums + jnp.concatenate(
@@ -807,6 +844,9 @@ class ParkourEnv:
             true_next_obs = self._build_obs(
                 env, base_lin_vel, base_ang_vel, projected_gravity,
                 measured_heights, ceilings, cinfo)
+            # pre-reset state: mask diverged rows (consumers bootstrap from
+            # these observations)
+            true_next_obs = jnp.where(diverged[:, None], 0.0, true_next_obs)
         else:
             true_next_obs = None
 

@@ -249,7 +249,13 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
 
         # LR anneal (:199-202)
         if args.anneal_lr:
-            frac = 1.0 - ts.iteration.astype(jnp.float32) / args.num_iterations
+            # clamp: resumed chunks can carry ts.iteration past
+            # num_iterations; a negative frac would turn the update into
+            # gradient ASCENT (set num_iterations to the total run length
+            # via train_parkour.py --anneal-iterations for chunked runs)
+            frac = jnp.clip(
+                1.0 - ts.iteration.astype(jnp.float32) / args.num_iterations,
+                0.0, 1.0)
             lr = frac * args.learning_rate
         else:
             lr = jnp.float32(args.learning_rate)

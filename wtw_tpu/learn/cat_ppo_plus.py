@@ -141,7 +141,10 @@ def make_train_fn(env, args: PPOPlusArgs, axis_name: str | None = None):
         b_ret_n = rms_norm(value_rms, b_ret)
 
         if args.anneal_lr:
-            frac = 1.0 - ts.iteration.astype(jnp.float32) / args.num_iterations
+            # clamped like cat_ppo: never let a resumed chunk go negative
+            frac = jnp.clip(
+                1.0 - ts.iteration.astype(jnp.float32) / args.num_iterations,
+                0.0, 1.0)
             lr = frac * args.learning_rate
         else:
             lr = jnp.float32(args.learning_rate)
