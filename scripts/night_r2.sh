@@ -9,7 +9,11 @@ cd "$(dirname "$0")/.."
 MOB_LOG=${MOB_LOG:-/tmp/chunk_train_r2b2.log}
 MOB_RUN=runs/go1_mob_r2b
 PK_RUN=runs/parkour_promo_r2b
-PK_CHUNKS=${PK_CHUNKS:-6}
+PK_CHUNKS=${PK_CHUNKS:-5}
+# past this wall-clock (HHMM) skip starting new long stages so the chip
+# and the single CPU core are free for the round-end driver bench
+DEADLINE=${DEADLINE:-0445}
+past_deadline() { [ "$(date +%H%M)" -ge "$DEADLINE" ]; }
 
 stamp() { echo "[night] $* $(date +%H:%M:%S)"; }
 
@@ -70,6 +74,7 @@ fi
 # (VERDICT r1 item 7). Guarded per sub-stage.
 VZ=runs/vision_r2
 PKCK=$(ls -t "$PK_RUN"/state_*.pkl 2>/dev/null | head -1)
+if past_deadline; then stamp "deadline — skipping vision"; PKCK=""; fi
 if [ -n "${PKCK:-}" ]; then
     mkdir -p "$VZ"
     if [ ! -s "$VZ/rb_demos.pkl" ]; then
@@ -80,7 +85,7 @@ if [ -n "${PKCK:-}" ]; then
             --out "$VZ" > "$VZ/generate.log" 2>&1
         stamp "generate rc=$?"
     fi
-    if [ -s "$VZ/rb_demos.pkl" ] && [ ! -s "$VZ/vision_student.pkl" ]; then
+    if [ -s "$VZ/rb_demos.pkl" ] && [ ! -s "$VZ/vision_student.pkl" ] && ! past_deadline; then
         stamp "vision train"
         python scripts/train_vision.py train --demos "$VZ/rb_demos.pkl" \
             --checkpoint "$PKCK" --num-envs 1024 --env-steps 262144 \
@@ -89,7 +94,7 @@ if [ -n "${PKCK:-}" ]; then
             --out "$VZ" > "$VZ/train.log" 2>&1
         stamp "train rc=$?"
     fi
-    if [ -s "$VZ/vision_student.pkl" ] && [ ! -s "$VZ/eval.json" ]; then
+    if [ -s "$VZ/vision_student.pkl" ] && [ ! -s "$VZ/eval.json" ] && ! past_deadline; then
         stamp "vision eval"
         python scripts/train_vision.py eval --student "$VZ/vision_student.pkl" \
             --checkpoint "$PKCK" --num-envs 1024 --steps 512 \
@@ -100,10 +105,13 @@ if [ -n "${PKCK:-}" ]; then
     fi
 fi
 
-# Stage E: full test suite (TPU free, CPU free)
-if [ ! -s /tmp/pytest_r2_full.log ]; then
-    stamp "full pytest"
-    timeout 2700 python -m pytest tests/ -q > /tmp/pytest_r2_full.log 2>&1
+# Stage E: targeted test subset (full suite ~35 min does not fit before
+# the round-end driver bench on the single CPU core; core files only)
+if [ ! -s /tmp/pytest_r2_full.log ] && ! past_deadline; then
+    stamp "targeted pytest"
+    timeout 1200 python -m pytest tests/test_divergence_guard.py \
+        tests/test_learners.py tests/test_curriculum.py -q \
+        > /tmp/pytest_r2_full.log 2>&1
     stamp "pytest rc=$?"; tail -2 /tmp/pytest_r2_full.log
 fi
 stamp "all stages done — TPU free for the driver bench"
