@@ -10,10 +10,13 @@ MOB_LOG=${MOB_LOG:-/tmp/chunk_train_r2b2.log}
 MOB_RUN=runs/go1_mob_r2b
 PK_RUN=runs/parkour_promo_r2b
 PK_CHUNKS=${PK_CHUNKS:-5}
-# past this wall-clock (HHMM) skip starting new long stages so the chip
-# and the single CPU core are free for the round-end driver bench
-DEADLINE=${DEADLINE:-0445}
-past_deadline() { [ "$(date +%H%M)" -ge "$DEADLINE" ]; }
+# past this deadline skip starting new long stages so the chip and the
+# single CPU core are free for the round-end driver bench. DEADLINE is an
+# absolute epoch (date -d '04:45 tomorrow' +%s); the old HHMM comparison
+# had no midnight wrap (an evening launch at 23:00 was "past" an 04:45
+# deadline from the start and skipped every guarded stage).
+DEADLINE_EPOCH=${DEADLINE_EPOCH:-$(date -d 'tomorrow 04:45' +%s)}
+past_deadline() { [ "$(date +%s)" -ge "$DEADLINE_EPOCH" ]; }
 
 stamp() { echo "[night] $* $(date +%H:%M:%S)"; }
 

@@ -120,13 +120,11 @@ def main():
                 proprio = obs[:, :ddpg_args.proprio_dim]
                 acts, hidden = D.actor_apply(sp["actor"], proprio, vlat,
                                              hidden, ddpg_args)
-                dist = jnp.linalg.norm(
-                    world.env.phys.base_pos[:, :2]
-                    - world.env.env_origin[:, :2], axis=1)
                 world, obs, rew, done, info = env.step(world, acts)
                 td = info["true_dones"].astype(jnp.float32)
                 hidden = hidden * (1.0 - td)[:, None]
-                return world, obs, hidden, vlat, rew, td, dist
+                return (world, obs, hidden, vlat, rew, td,
+                        info["dist_at_done"], info["episode_len_at_reset"])
         else:
             assert args.checkpoint, "--student or --checkpoint required"
             with open(args.checkpoint, "rb") as f:
@@ -136,35 +134,37 @@ def main():
             @jax.jit
             def step_fn(world, obs, hidden, vlat, step):
                 acts = get_action_mean(ts.params, rms_norm(ts.obs_rms, obs))
-                dist = jnp.linalg.norm(
-                    world.env.phys.base_pos[:, :2]
-                    - world.env.env_origin[:, :2], axis=1)
                 world, obs, rew, done, info = env.step(world, acts)
                 td = info["true_dones"].astype(jnp.float32)
-                return world, obs, hidden, vlat, rew, td, dist
+                return (world, obs, hidden, vlat, rew, td,
+                        info["dist_at_done"], info["episode_len_at_reset"])
 
         world = env.init_state(jax.random.PRNGKey(args.seed))
         obs = env.get_observations(world)
         N = env.num_envs
         hidden = jnp.zeros((N, ddpg_args.rnn_hidden))
         vlat = jnp.zeros((N, ddpg_args.vision_latent))
-        n_done = n_cross = 0.0
-        rews, steps_alive = [], 0.0
+        n_done = n_cross = done_len = 0.0
+        rews = []
         for step in range(args.steps):
-            world, obs, hidden, vlat, rew, td, dist = step_fn(
+            world, obs, hidden, vlat, rew, td, dist, eplen = step_fn(
                 world, obs, hidden, vlat, step)
             td, dist = np.asarray(td), np.asarray(dist)
             n_done += td.sum()
+            # dist is the post-step, pre-reset distance at termination
             n_cross += (td * (dist > 0.8 * env.track_length)).sum()
-            steps_alive += N
+            done_len += float(eplen)
             rews.append(float(jnp.mean(rew)))
         out = {
             "policy": "student" if args.student else "expert",
             "num_envs": N, "steps": args.steps,
             "mean_step_reward": round(float(np.mean(rews)), 4),
+            # over COMPLETED episodes only; censored (still-alive) episodes
+            # are reported separately rather than biasing the mean
             "mean_episode_len_s": round(
-                float(steps_alive / max(n_done, 1) * env.dt), 2),
+                float(done_len / max(n_done, 1) * env.dt), 2),
             "episodes": int(n_done),
+            "censored_episodes": int(N),
             "track_cross_rate": round(float(n_cross / max(n_done, 1)), 4),
         }
         print(json.dumps(out))

@@ -491,7 +491,8 @@ class LeggedEnv:
                     return s_out, cinfo, res[2]
                 return s_out, cinfo
 
-            if cfg.control.hf_substep_cache and not self.hf.is_flat:
+            if getattr(cfg.control, "hf_substep_cache", True) \
+                    and not self.hf.is_flat:
                 # Python-unrolled substeps: gather terrain corners at
                 # substep 0, reuse for the rest of the policy step
                 s_c = world.env.replace(actions=actions)

@@ -856,6 +856,12 @@ class ParkourEnv:
         ep_len_at_reset = jnp.sum(jnp.where(hard_done, env.progress, 0))
         n_reset = jnp.sum(hard_done)
 
+        # post-step, PRE-reset XY distance from the track origin — eval
+        # tooling uses this to measure crossing distance AT termination
+        # (the post-reset position would be teleported back to the start)
+        dist_pre_reset = jnp.linalg.norm(
+            env.phys.base_pos[:, :2] - env.env_origin[:, :2], axis=1)
+
         # ---- masked reset (reset_idx :1035-1124) ----
         env = self._reset_envs(env, hard_done)
 
@@ -914,6 +920,7 @@ class ParkourEnv:
             "episode_sums_at_reset": ep_sums_at_reset,
             "episode_len_at_reset": ep_len_at_reset,
             "num_resets": n_reset,
+            "dist_at_done": dist_pre_reset,
             "soft_p": soft_p,
         }
         if true_next_obs is not None:

@@ -164,7 +164,15 @@ class Runner:
             os.path.exists(self._csv_path)
             and os.path.getsize(self._csv_path) > 0)
         if self._csv_keys is None:
-            self._csv_keys = list(row.keys())
+            if not new:
+                # appending to an existing file: adopt ITS header so rows
+                # stay aligned even if the metric set changed between
+                # resume chunks (extrasaction='ignore' drops extras;
+                # keys absent from the new rows fill as empty cells)
+                with open(self._csv_path, newline="") as f:
+                    self._csv_keys = next(csv.reader(f))
+            else:
+                self._csv_keys = list(row.keys())
         with open(self._csv_path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._csv_keys,
                                extrasaction="ignore")

@@ -732,10 +732,13 @@ def _hf_rows(hf: HeightField, x, y, cached=None):
     - constant grid (hf.is_flat): Python-float constants — folded into the
       kernel, no gather, no memory traffic;
     - `cached` = (u0f, v0f, hc) from hf_gather_cache: reuse the corner rows
-      gathered at the policy-step start and only recompute du/dv against
-      the cached cell (bilinear patches are C0-continuous across cell
-      edges, so the ≲1 substep of extrapolation when a sphere crosses a
-      cell is a ≪1 cm height error);
+      gathered at the policy-step start and recompute du/dv against the
+      cached cell, CLAMPED to [0, 1] — a sphere that crosses a cell edge
+      mid-policy-step is evaluated at the cached patch's edge (exact at
+      the crossing point by C0 continuity) instead of extrapolating the
+      patch, which near terrain discontinuities (hurdle/gap edges, where
+      adjacent-cell slope deltas are large) could otherwise err by
+      several cm right where the contact solver is most fragile;
     - full per-substep row gather (exact).
     """
     if hf.is_flat:
@@ -744,7 +747,7 @@ def _hf_rows(hf: HeightField, x, y, cached=None):
     if cached is not None:
         u0f, v0f, hc = cached
         u, v = _hf_uv(hf, x, y)
-        return hc, u - u0f, v - v0f
+        return hc, jnp.clip(u - u0f, 0.0, 1.0), jnp.clip(v - v0f, 0.0, 1.0)
     u0f, v0f, hc = _hf_gather(hf, x, y)
     u, v = _hf_uv(hf, x, y)
     return hc, u - u0f, v - v0f
