@@ -59,8 +59,12 @@ class Runner:
         self.world = env.init_state(k_env)
         self.world, self.obs_dict = env.get_observations(self.world)
         self.ts = ppo_cse.init_train_state(k_train, env, args, ac_args)
+        # donate the carried state: the iteration rewrites ts/world/obs in
+        # place on device instead of allocating fresh buffers each call
+        # (the (T,N,2100) rollout + env state are the largest live arrays)
         self._iteration_fn = jax.jit(
-            ppo_cse.make_train_fns(env, args, ac_args))
+            ppo_cse.make_train_fns(env, args, ac_args),
+            donate_argnums=(0,))
 
         os.makedirs(runner_args.run_dir, exist_ok=True)
         os.makedirs(os.path.join(runner_args.run_dir, "checkpoints"),
