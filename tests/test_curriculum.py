@@ -87,3 +87,35 @@ def test_gait_category_shaping():
     assert float(pace[5]) == 0.0 and float(pace[6]) in (0.0, 0.5)
     bound = C.apply_gait_category(cmd, jnp.int32(3), binary_phases=True)
     assert float(bound[7]) in (0.0, 0.5)
+
+
+def test_batched_sampler_matches_vmap():
+    """The TPU hot-path batched sampler (one-hot matmuls, shared CDF) must
+    reproduce vmap(sample_commands) exactly: same key splits, same draws,
+    same bins."""
+    cmd = small_cmd()
+    grid = C.build_grid(cmd)
+    state = C.init_state(cmd, grid)
+    # make weights non-trivial so CDF order matters
+    state = C.CurriculumState(
+        weights=state.weights * jnp.linspace(0.2, 1.0, state.weights.shape[1]))
+    keys = jax.random.split(jax.random.PRNGKey(3), 512)
+    cats = jax.random.randint(jax.random.PRNGKey(4), (512,), 0,
+                              state.weights.shape[0])
+    cmds_v, bins_v = jax.vmap(
+        lambda c, k: C.sample_commands(grid, state, c, k))(cats, keys)
+    cmds_b, bins_b = C.sample_commands_batched(grid, state, cats, keys)
+    assert (np.asarray(bins_v) == np.asarray(bins_b)).all()
+    np.testing.assert_allclose(np.asarray(cmds_v), np.asarray(cmds_b),
+                               rtol=0, atol=1e-6)
+
+
+def test_batched_gait_category_matches_scalar():
+    cmds = jax.random.uniform(jax.random.PRNGKey(5), (64, 15), minval=-1,
+                              maxval=1)
+    cats = jax.random.randint(jax.random.PRNGKey(6), (64,), 0, 4)
+    for binary in (False, True):
+        one = jax.vmap(
+            lambda c, g: C.apply_gait_category(c, g, binary))(cmds, cats)
+        bat = C.apply_gait_category_batched(cmds, cats, binary)
+        np.testing.assert_allclose(np.asarray(one), np.asarray(bat), atol=1e-6)

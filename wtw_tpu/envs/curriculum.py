@@ -137,6 +137,57 @@ def sample_commands(grid: CurriculumGrid, state: CurriculumState,
     return cmd, bin_idx
 
 
+def sample_commands_batched(grid: CurriculumGrid, state: CurriculumState,
+                            categories: jnp.ndarray, keys: jax.Array):
+    """Batched sample_commands for the hot path: (N,) categories + (N,) keys
+    -> ((N, n_dims) commands, (N,) bins).
+
+    Identical draws to vmap(sample_commands) (same key splits, same uniform
+    calls), but restructured for the TPU: the per-category CDF is computed
+    ONCE on the (n_cat, n_bins) weights instead of per env (vmapped cumsum
+    lowered to ~65k flop/env — profiled at 2.4 ms/step at 4096 envs), and
+    every per-env gather (weights row, cell center) becomes a one-hot
+    matmul that rides the MXU instead of a serialized gather.
+    """
+    n_cat, n_bins = state.weights.shape
+    cdf_all = jnp.cumsum(state.weights, axis=1)              # (n_cat, n_bins)
+    cat_oh = jax.nn.one_hot(categories, n_cat, dtype=jnp.float32)
+    cdf = cat_oh @ cdf_all                                   # (N, n_bins)
+    ks = jax.vmap(lambda k: jax.random.split(k))(keys)       # (N, 2, 2)
+    r = jax.vmap(jax.random.uniform)(ks[:, 0]) * cdf[:, -1]
+    bin_idx = jnp.sum((cdf <= r[:, None]).astype(jnp.int32), axis=1)
+    bin_idx = jnp.clip(bin_idx, 0, n_bins - 1)
+    bin_oh = jax.nn.one_hot(bin_idx, n_bins, dtype=jnp.float32)
+    center = bin_oh @ grid.centers.T                         # (N, n_dims)
+    n_dims = grid.centers.shape[0]
+    jitter = jax.vmap(lambda k: jax.random.uniform(
+        k, (n_dims,), minval=-0.5, maxval=0.5))(ks[:, 1])
+    cmd = center + jitter * grid.bin_sizes
+    return cmd, bin_idx
+
+
+def apply_gait_category_batched(commands: jnp.ndarray, category: jnp.ndarray,
+                                binary_phases: bool) -> jnp.ndarray:
+    """Batched apply_gait_category: (N, nc) commands + (N,) categories.
+    The per-env `sel[category]` gathers (0.8 ms each at 4096 envs —
+    profiled) become arithmetic one-hot selects that fuse to nothing."""
+    phase, offset, bound = commands[:, 5], commands[:, 6], commands[:, 7]
+    z = jnp.zeros_like(phase)
+    p_sel = jnp.stack([(phase / 2 - 0.25) % 1.0, phase / 2 + 0.25, z, z], -1)
+    o_sel = jnp.stack([(offset / 2 - 0.25) % 1.0, z, offset / 2 + 0.25, z], -1)
+    b_sel = jnp.stack([(bound / 2 - 0.25) % 1.0, z, z, bound / 2 + 0.25], -1)
+    cat_oh = jax.nn.one_hot(category, 4, dtype=commands.dtype)   # (N, 4)
+    new_p = jnp.sum(p_sel * cat_oh, axis=-1)
+    new_o = jnp.sum(o_sel * cat_oh, axis=-1)
+    new_b = jnp.sum(b_sel * cat_oh, axis=-1)
+    if binary_phases:
+        new_p = (jnp.round(2 * new_p) / 2.0) % 1.0
+        new_o = (jnp.round(2 * new_o) / 2.0) % 1.0
+        new_b = (jnp.round(2 * new_b) / 2.0) % 1.0
+    return commands.at[:, 5].set(new_p).at[:, 6].set(new_o) \
+                   .at[:, 7].set(new_b)
+
+
 def update_weights(grid: CurriculumGrid, state: CurriculumState,
                    env_category: jnp.ndarray, env_bin: jnp.ndarray,
                    success: jnp.ndarray, mask: jnp.ndarray,

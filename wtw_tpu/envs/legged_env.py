@@ -381,25 +381,27 @@ class LeggedEnv:
         else:
             new_curr = world.curriculum
 
-        # 2. new categories + commands for masked envs
-        def sample_one(k, old_cmd, old_bin, old_cat, m):
-            k1, k2, k3 = jax.random.split(k, 3)
-            cat = jax.random.randint(k1, (), 0, self.n_categories)
-            cmd, bin_idx = curr.sample_commands(self.grid, new_curr, cat, k2)
-            cmd = cmd[:cfg.commands.num_commands]
-            if cfg.commands.num_commands > 5 and cfg.commands.gaitwise_curricula:
-                cmd = curr.apply_gait_category(cmd, cat,
-                                               cfg.commands.binary_phases)
-            # zero small xy commands (:820)
-            cmd = cmd.at[:2].multiply(
-                (jnp.linalg.norm(cmd[:2]) > cfg.commands.vel_deadband) * 1.0)
-            return (jnp.where(m, cmd, old_cmd),
-                    jnp.where(m, bin_idx.astype(jnp.int32), old_bin),
-                    jnp.where(m, cat.astype(jnp.int32), old_cat))
-
+        # 2. new categories + commands for masked envs — batched (same
+        # per-env key splits/draws as the vmapped form, asserted by
+        # tests/test_curriculum.py::test_batched_sampler_matches_vmap)
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 17))(env.rng)
-        new_cmd, new_bin, new_cat = jax.vmap(sample_one)(
-            keys, env.commands, env.env_bin, env.env_category, mask)
+        ks3 = jax.vmap(lambda k: jax.random.split(k, 3))(keys)   # (N, 3, 2)
+        cat = jax.vmap(lambda k: jax.random.randint(
+            k, (), 0, self.n_categories))(ks3[:, 0])
+        cmd, bin_idx = curr.sample_commands_batched(
+            self.grid, new_curr, cat, ks3[:, 1])
+        cmd = cmd[:, :cfg.commands.num_commands]
+        if cfg.commands.num_commands > 5 and cfg.commands.gaitwise_curricula:
+            cmd = curr.apply_gait_category_batched(
+                cmd, cat, cfg.commands.binary_phases)
+        # zero small xy commands (:820)
+        cmd = cmd * jnp.where(
+            (jnp.arange(cmd.shape[1]) < 2)[None, :]
+            & (jnp.linalg.norm(cmd[:, :2], axis=1)
+               <= cfg.commands.vel_deadband)[:, None], 0.0, 1.0)
+        new_cmd = jnp.where(mask[:, None], cmd, env.commands)
+        new_bin = jnp.where(mask, bin_idx.astype(jnp.int32), env.env_bin)
+        new_cat = jnp.where(mask, cat.astype(jnp.int32), env.env_category)
 
         # 3. zero command_sums for masked envs (:822-824)
         new_cmd_sums = jnp.where(mask[:, None], 0.0, env.command_sums)

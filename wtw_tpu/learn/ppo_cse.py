@@ -57,6 +57,16 @@ class PPOArgs:
     # std 1.0 -> 3.0 at 4000 envs, which thrashes the robot into instant
     # falls). The clamp is inactive once real reward gradients appear.
     std_range: tuple = (0.05, 2.0)
+    # Fuse the adaptation-module substep's forward pass into the PPO loss
+    # pass (one shared (mb, 2100)x(2100, 256) GEMM instead of two). The
+    # adaptation gradient is then evaluated at the pre-PPO-step parameters
+    # instead of the post-step ones (ppo.py:163-189 runs the substep after
+    # optimizer.step()) — a one-optimizer-step-stale gradient on the
+    # supervised regression, with the update still applied to the post-step
+    # parameters through the same separate Adam. Requires
+    # num_adaptation_module_substeps == 1 (the reference default); the
+    # exact interleaving remains available with False.
+    fused_adaptation_substep: bool = True
 
 
 @struct.dataclass
@@ -71,6 +81,11 @@ class TrainState:
 
 @struct.dataclass
 class Transition:
+    # NOTE: no `sigma` field — the policy std is a per-dim parameter that
+    # is constant across the whole rollout (params don't change between
+    # update calls), so the update reads it from the pre-update TrainState
+    # instead of storing T*N broadcast copies (rollout_storage.py:36-50
+    # stores the broadcast tensor; that costs a permute gather per update).
     obs: jnp.ndarray
     privileged_obs: jnp.ndarray
     obs_history: jnp.ndarray
@@ -80,7 +95,6 @@ class Transition:
     values: jnp.ndarray
     log_probs: jnp.ndarray
     mu: jnp.ndarray
-    sigma: jnp.ndarray
 
 
 def make_optimizers(args: PPOArgs):
@@ -104,7 +118,10 @@ def init_train_state(key: jax.Array, env, args: PPOArgs,
     return TrainState(
         params=params,
         opt_state=tx.init(params),
-        adapt_opt_state=adapt_tx.init(params),
+        # the adaptation optimizer holds ONLY the adaptation module's
+        # parameters, like the reference's separate Adam
+        # (ppo_cse/ppo.py:60-63) — not zero-grad moments for actor/critic
+        adapt_opt_state=adapt_tx.init(params["adaptation"]),
         lr=jnp.float32(args.learning_rate),
         key=k_loop,
         iteration=jnp.int32(0),
@@ -205,7 +222,7 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
                 actions=tr_slice(actions),
                 rewards=tr_slice(rew_b), dones=tr_slice(done),
                 values=tr_slice(values), log_probs=tr_slice(logp),
-                mu=tr_slice(mean), sigma=tr_slice(std))
+                mu=tr_slice(mean))
             metrics = (info["episode_sums_at_reset"], info["num_resets"],
                        rew[:n_tr], info["mean_episode_length"],
                        info["eval_episode_sums_at_reset"],
@@ -219,9 +236,12 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
         ts = ts.replace(key=key)
         return ts, world, obs_dict, traj, metrics
 
-    def ppo_loss(params, batch, lr_unused):
-        obs_h, priv, actions, old_logp, old_mu, old_sigma, target_v, adv, ret = batch
-        mean, std = ac.distribution(params, obs_h, ac_args)
+    def ppo_terms(params, obs_h, priv, actions, old_logp, old_mu, old_sigma,
+                  target_v, adv, ret, latent):
+        """Clipped-surrogate + value + entropy terms given the adaptation
+        latent (shared with the adaptation loss in fused mode)."""
+        mean = ac.actor_mean(params, obs_h, latent, ac_args)
+        std = jnp.broadcast_to(params["std"], mean.shape)
         logp = ac.log_prob(mean, std, actions)
         value = ac.evaluate(params, obs_h, priv, ac_args)
         ent = ac.entropy(std)
@@ -250,15 +270,54 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
             axis=-1).mean()
         return loss, (surrogate_loss, v_loss, kl)
 
+    def ppo_loss(params, batch, old_std):
+        obs_h, priv, actions, old_logp, old_mu, target_v, adv, ret = batch
+        latent = ac.adaptation_module(params, obs_h, ac_args)
+        return ppo_terms(params, obs_h, priv, actions, old_logp, old_mu,
+                         old_std, target_v, adv, ret, latent)
+
+    def _adaptation_split_losses(pred, priv, n_train):
+        B = pred.shape[0]
+        train_loss = jnp.mean((pred[:n_train] - priv[:n_train]) ** 2)
+        test_loss = (jnp.mean((pred[n_train:] - priv[n_train:]) ** 2)
+                     if n_train < B else train_loss)
+        return train_loss, test_loss
+
     def adaptation_loss_fn(params, obs_h, priv, n_train=None):
         pred = ac.adaptation_module(params, obs_h, ac_args)
         B = pred.shape[0]
         if n_train is None:
             n_train = max(1, (B // 5) * 4)   # 80/20 split (ppo.py:163-183)
-        train_loss = jnp.mean((pred[:n_train] - priv[:n_train]) ** 2)
-        test_loss = (jnp.mean((pred[n_train:] - priv[n_train:]) ** 2)
-                     if n_train < B else train_loss)
-        return train_loss, test_loss
+        return _adaptation_split_losses(pred, priv, n_train)
+
+    def fused_grads(params, batch, old_std, n_train_ad):
+        """Fused mode: ONE adaptation forward serves both the PPO loss
+        (actor latent) and the supervised regression. The adaptation
+        module's VJP is taken once and invoked with two real cotangents
+        (the PPO loss's latent gradient; the regression's latent gradient)
+        — no zero-scaled second backward through the actor/critic."""
+        obs_h, priv, actions, old_logp, old_mu, target_v, adv, ret = batch
+        latent, vjp_ad = jax.vjp(
+            lambda p: ac.adaptation_module(p, obs_h, ac_args), params)
+
+        loss, pb, aux = jax.vjp(
+            lambda p, lat: ppo_terms(p, obs_h, priv, actions, old_logp,
+                                     old_mu, old_std, target_v, adv, ret,
+                                     lat),
+            params, latent, has_aux=True)
+        ct = loss * 0 + 1          # carries the shard_map varying type
+        g_direct, g_latent = pb(ct)
+        g_through_latent = vjp_ad(g_latent)[0]
+        grads = jax.tree.map(jnp.add, g_direct, g_through_latent)
+
+        if n_train_ad is None:
+            n_train_ad = max(1, (latent.shape[0] // 5) * 4)
+        (a_loss, a_test), pb_a = jax.vjp(
+            lambda lat: _adaptation_split_losses(lat, priv, n_train_ad),
+            latent)
+        c_lat = pb_a((a_loss * 0 + 1, a_test * 0))[0]
+        a_grads = vjp_ad(c_lat)[0]
+        return loss, aux, grads, a_loss, a_test, a_grads
 
     def update(ts: TrainState, traj, last_obs_dict):
         T, N = traj.rewards.shape
@@ -270,10 +329,8 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
                                     last_values, args.gamma, args.lam,
                                     pmean=_pmean)
 
-        flat = lambda x: x.reshape((T * N,) + x.shape[2:])
-        data = (flat(traj.obs_history), flat(traj.privileged_obs),
-                flat(traj.actions), flat(traj.log_probs), flat(traj.mu),
-                flat(traj.sigma), flat(traj.values), flat(advs), flat(returns))
+        # pre-update policy std: constant across the rollout (see Transition)
+        old_std = ts.params["std"]
 
         key, k_perm = jax.random.split(ts.key)
         perm = jax.random.permutation(k_perm, T * N)
@@ -291,19 +348,54 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
                 [jnp.asarray(base[:, mth::M].reshape(-1))
                  for mth in range(M)])
 
-        # permute the flattened rollout ONCE, then minibatch by contiguous
-        # dynamic slices: gathering each (24k, 2100) minibatch from HBM per
-        # epoch x minibatch cost ~30 ms/iteration (profiled); one permute +
-        # slices is the same batches in the same order for ~1 ms
-        data = tuple(d[perm] for d in data)
+        # permute the rollout ONCE, then minibatch by contiguous dynamic
+        # slices: gathering each (24k, 2100) minibatch from HBM per epoch x
+        # minibatch cost ~30 ms/iteration (profiled); one permute + slices
+        # is the same batches in the same order for ~1 ms. The small
+        # per-sample tensors are packed into ONE buffer first so the
+        # permutation is two coalesced gathers (history + packed) instead
+        # of eight strided ones, and both gathers index the (T, N, ·) scan
+        # layout directly (a flat reshape forced a 400 MB transpose copy).
+        t_idx, n_idx = perm // N, perm % N
+        nj = traj.actions.shape[-1]
+        npv = traj.privileged_obs.shape[-1]
+        packed = jnp.concatenate([
+            traj.privileged_obs, traj.actions, traj.mu,
+            traj.log_probs[..., None], traj.values[..., None],
+            advs[..., None], returns[..., None]], axis=-1)
+        packed = packed[t_idx, n_idx]
+        obs_h_p = traj.obs_history[t_idx, n_idx]
+
+        def unpack(p):
+            priv = p[:, :npv]
+            actions = p[:, npv:npv + nj]
+            mu = p[:, npv + nj:npv + 2 * nj]
+            logp, values, adv, ret = (p[:, npv + 2 * nj + i]
+                                      for i in range(4))
+            return priv, actions, logp, mu, values, adv, ret
+
+        fused = (args.fused_adaptation_substep
+                 and args.num_adaptation_module_substeps == 1)
 
         def minibatch_step(carry, mth):
             params, opt_state, adapt_opt_state, lr = carry
-            batch = tuple(
-                jax.lax.dynamic_slice_in_dim(d, mth * mb_size, mb_size)
-                for d in data)
-            (loss, (surr, v_loss, kl)), grads = jax.value_and_grad(
-                ppo_loss, has_aux=True)(params, batch, lr)
+            obs_h = jax.lax.dynamic_slice_in_dim(obs_h_p, mth * mb_size,
+                                                 mb_size)
+            priv, actions, logp, mu, values, adv, ret = unpack(
+                jax.lax.dynamic_slice_in_dim(packed, mth * mb_size, mb_size))
+            batch = (obs_h, priv, actions, logp, mu, values, adv, ret)
+            # 80/20 split of the adaptation regression (ppo.py:163-183); in
+            # sharding-invariant mode it is timestep-aligned so per-shard
+            # subsets union to exactly the global subsets
+            n_tr_ad = ((T * 4 // 5) * (mb_size // T)
+                       if args.sharding_invariant else None)
+
+            if fused:
+                loss, (surr, v_loss, kl), grads, a_loss, a_test, a_grads = \
+                    fused_grads(params, batch, old_std, n_tr_ad)
+            else:
+                (loss, (surr, v_loss, kl)), grads = jax.value_and_grad(
+                    ppo_loss, has_aux=True)(params, batch, old_std)
             grads = jax.tree.map(_pmean, grads)
             kl = _pmean(kl)
 
@@ -319,24 +411,29 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
                 params = {**params, "std": jnp.clip(
                     params["std"], args.std_range[0], args.std_range[1])}
 
-            # adaptation-module supervised substep (ppo.py:166-189); in
-            # sharding-invariant mode the 80/20 split is timestep-aligned so
-            # per-shard subsets union to exactly the global subsets
-            B_mb = batch[0].shape[0]
-            n_tr_ad = ((T * 4 // 5) * (B_mb // T)
-                       if args.sharding_invariant else None)
-            a_losses = []
-            for _ in range(args.num_adaptation_module_substeps):
-                (a_loss, a_test), a_grads = jax.value_and_grad(
-                    adaptation_loss_fn, has_aux=True)(
-                    params, batch[0], batch[1], n_tr_ad)
-                a_grads = jax.tree.map(_pmean, a_grads)
+            # adaptation-module supervised substep (ppo.py:166-189); the
+            # separate Adam runs over the adaptation subtree only
+            def adapt_apply(params, a_grads_ad, adapt_opt_state):
+                a_grads_ad = jax.tree.map(_pmean, a_grads_ad)
                 a_updates, adapt_opt_state = adapt_tx.update(
-                    a_grads, adapt_opt_state, params)
-                params = optax.apply_updates(params, a_updates)
-                a_losses.append((a_loss, a_test))
-            a_loss = sum(l for l, _ in a_losses) / len(a_losses)
-            a_test = sum(t for _, t in a_losses) / len(a_losses)
+                    a_grads_ad, adapt_opt_state, params["adaptation"])
+                new_ad = optax.apply_updates(params["adaptation"], a_updates)
+                return {**params, "adaptation": new_ad}, adapt_opt_state
+
+            if fused:
+                params, adapt_opt_state = adapt_apply(
+                    params, a_grads["adaptation"], adapt_opt_state)
+            else:
+                a_losses = []
+                for _ in range(args.num_adaptation_module_substeps):
+                    (a_loss, a_test), a_grads = jax.value_and_grad(
+                        adaptation_loss_fn, has_aux=True)(
+                        params, batch[0], batch[1], n_tr_ad)
+                    params, adapt_opt_state = adapt_apply(
+                        params, a_grads["adaptation"], adapt_opt_state)
+                    a_losses.append((a_loss, a_test))
+                a_loss = sum(l for l, _ in a_losses) / len(a_losses)
+                a_test = sum(t for _, t in a_losses) / len(a_losses)
 
             return (params, opt_state, adapt_opt_state, lr), (
                 loss, surr, v_loss, kl, a_loss, a_test)

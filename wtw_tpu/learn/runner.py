@@ -216,7 +216,17 @@ class Runner:
         with opener(path, "rb") as f:
             blob = pickle.load(f)
         to_dev = lambda t: jax.tree.map(jnp.asarray, t)
-        self.ts = to_dev(blob["ts"])
+        ts = blob["ts"]
+        # migration: pre-round-3 checkpoints hold adaptation-optimizer
+        # moments for the FULL param tree; the optimizer now scopes to the
+        # adaptation subtree (matching the reference's separate Adam,
+        # ppo_cse/ppo.py:60-63) — strip the zero actor/critic moments
+        ts = ts.replace(adapt_opt_state=jax.tree.map(
+            lambda s: (s["adaptation"]
+                       if isinstance(s, dict) and "adaptation" in s else s),
+            ts.adapt_opt_state,
+            is_leaf=lambda s: isinstance(s, dict) and "adaptation" in s))
+        self.ts = to_dev(ts)
         if blob.get("slim"):
             # slim checkpoint (tools/slim_checkpoint.py): learner state +
             # curriculum weights + anneal clock only — env arrays are NOT
