@@ -33,6 +33,10 @@ def main():
                     help="network GEMM compute dtype (params/opt stay fp32)")
     ap.add_argument("--devices", type=int, default=0,
                     help="scaling mode: devices to use (0 = all)")
+    ap.add_argument("--sharding-invariant", action="store_true",
+                    help="bench the sharding-invariant training mode "
+                         "instead of the reference's random-permutation "
+                         "minibatching")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (pair with XLA_FLAGS="
                          "--xla_force_host_platform_device_count=N for a "
@@ -58,7 +62,11 @@ def main():
     # reference weights), 15 commands, 70-dim obs, 30-step history
     cfg = go1_mob_config(num_envs=args_cli.num_envs)
     env = LeggedEnv(cfg, load_robot("go1"))
-    ppo_args = PPOArgs()
+    # default = exact reference minibatching semantics
+    # (rollout_storage.py:100-139); --sharding-invariant benches the
+    # multi-device-consistent mode (per-env RNG streams + env-strided
+    # minibatches; tests/test_parallel.py)
+    ppo_args = PPOArgs(sharding_invariant=args_cli.sharding_invariant)
     from wtw_tpu.models.actor_critic import ACArgs
     ac_args = ACArgs(compute_dtype=args_cli.dtype)
 

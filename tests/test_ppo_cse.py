@@ -169,3 +169,23 @@ def test_fused_adaptation_substep_close_to_exact():
     assert np.isfinite(s_fused["adaptation_loss"])
     assert abs(s_fused["adaptation_loss"] - s_exact["adaptation_loss"]) \
         < 0.25 * abs(s_exact["adaptation_loss"]) + 1e-3
+
+
+def test_actor_critic_heads_match_separate():
+    """The concatenated first-layer GEMM must be bitwise-identical to the
+    separate actor_mean/evaluate applications."""
+    from wtw_tpu.models import actor_critic as ac
+
+    for dtype in ("float32", "bfloat16"):
+        args = ac.ACArgs(compute_dtype=dtype)
+        params = ac.init_actor_critic(jax.random.PRNGKey(0), 70, 2, 2100,
+                                      12, args)
+        k = jax.random.PRNGKey(1)
+        obs_h = jax.random.normal(k, (64, 2100))
+        latent = jax.random.normal(jax.random.fold_in(k, 1), (64, 2))
+        priv = jax.random.normal(jax.random.fold_in(k, 2), (64, 2))
+        mean1 = ac.actor_mean(params, obs_h, latent, args)
+        val1 = ac.evaluate(params, obs_h, priv, args)
+        mean2, val2 = ac.actor_critic_heads(params, obs_h, latent, priv, args)
+        np.testing.assert_array_equal(np.asarray(mean1), np.asarray(mean2))
+        np.testing.assert_array_equal(np.asarray(val1), np.asarray(val2))

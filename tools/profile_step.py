@@ -33,6 +33,13 @@ def parse_xplane(logdir, top=40):
         if "/device:TPU" not in plane.name and "TPU" not in plane.name:
             continue
         meta = {m.id: m.name for m in plane.event_metadata.values()}
+        stat_names = {m.id: m.name for m in plane.stat_metadata.values()}
+        # source-file:line attribution from the event metadata stats
+        sources = {}
+        for m in plane.event_metadata.values():
+            for st in m.stats:
+                if stat_names.get(st.metadata_id) == "source":
+                    sources[m.name] = st.str_value.replace("/root/repo/", "")
         totals = defaultdict(float)
         counts = defaultdict(int)
         for line in plane.lines:
@@ -48,7 +55,10 @@ def parse_xplane(logdir, top=40):
         print(f"\n=== plane {plane.name}: total device {total_ms:.2f} ms ===")
         rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
         for name, ms in rows:
-            print(f"{ms:9.3f} ms  x{counts[name]:<5d} {name[:110]}")
+            src = sources.get(name, "")
+            print(f"{ms:9.3f} ms  x{counts[name]:<5d} {name[:86]}")
+            if src:
+                print(f"             `- {src}")
         return
 
 

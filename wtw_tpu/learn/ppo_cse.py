@@ -239,7 +239,12 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
     def ppo_terms(params, obs_h, priv, actions, old_logp, old_mu, old_sigma,
                   target_v, adv, ret, latent):
         """Clipped-surrogate + value + entropy terms given the adaptation
-        latent (shared with the adaptation loss in fused mode)."""
+        latent (shared with the adaptation loss in fused mode).
+
+        (Negative result, round 3: computing the actor+critic first layers
+        as one concatenated (2100, 1024) GEMM — ac.actor_critic_heads —
+        was ~8 ms/iter SLOWER end-to-end: the per-minibatch weight concat
+        + its slice-adjoint backward outweigh the GEMM merge.)"""
         mean = ac.actor_mean(params, obs_h, latent, ac_args)
         std = jnp.broadcast_to(params["std"], mean.shape)
         logp = ac.log_prob(mean, std, actions)
@@ -333,38 +338,49 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
         old_std = ts.params["std"]
 
         key, k_perm = jax.random.split(ts.key)
-        perm = jax.random.permutation(k_perm, T * N)
         mb_size = T * N // args.num_mini_batches
+        M = args.num_mini_batches
 
-        if args.sharding_invariant:
-            # env-strided minibatches: env n -> minibatch n % M. Every shard
-            # contributes an equal share to each minibatch, so pmean'd
-            # gradients equal the unsharded global-batch gradients exactly.
-            import numpy as _np
-            M = args.num_mini_batches
-            assert N % M == 0, "env count per shard must divide minibatches"
-            base = _np.arange(T * N).reshape(T, N)
-            perm = jnp.concatenate(
-                [jnp.asarray(base[:, mth::M].reshape(-1))
-                 for mth in range(M)])
-
-        # permute the rollout ONCE, then minibatch by contiguous dynamic
-        # slices: gathering each (24k, 2100) minibatch from HBM per epoch x
-        # minibatch cost ~30 ms/iteration (profiled); one permute + slices
-        # is the same batches in the same order for ~1 ms. The small
-        # per-sample tensors are packed into ONE buffer first so the
-        # permutation is two coalesced gathers (history + packed) instead
-        # of eight strided ones, and both gathers index the (T, N, ·) scan
-        # layout directly (a flat reshape forced a 400 MB transpose copy).
-        t_idx, n_idx = perm // N, perm % N
+        # The small per-sample tensors are packed into ONE buffer so
+        # permutation/slicing is two coalesced operations instead of eight.
         nj = traj.actions.shape[-1]
         npv = traj.privileged_obs.shape[-1]
         packed = jnp.concatenate([
             traj.privileged_obs, traj.actions, traj.mu,
             traj.log_probs[..., None], traj.values[..., None],
             advs[..., None], returns[..., None]], axis=-1)
-        packed = packed[t_idx, n_idx]
+
+        if args.sharding_invariant:
+            # env-strided minibatches: env n -> minibatch n % M. Every shard
+            # contributes an equal share to each minibatch, so pmean'd
+            # gradients equal the unsharded global-batch gradients exactly.
+            # (A slice-based no-gather variant was tried and was SLOWER:
+            # XLA re-laid-out each env-minor minibatch per step, 20 copies
+            # instead of this one gather.)
+            import numpy as _np
+            assert N % M == 0, "env count per shard must divide minibatches"
+            base = _np.arange(T * N).reshape(T, N)
+            perm = jnp.concatenate(
+                [jnp.asarray(base[:, mth::M].reshape(-1))
+                 for mth in range(M)])
+        else:
+            # reference semantics (rollout_storage.py:100-139): one random
+            # permutation over T*N reused across epochs.
+            perm = jax.random.permutation(k_perm, T * N)
+
+        # permute ONCE, then minibatches are contiguous dynamic slices
+        # (gathering each (24k, 2100) minibatch per epoch x minibatch cost
+        # ~30 ms/iteration); both gathers index the (T, N, ·) scan layout
+        # directly (a flat reshape forced a 400 MB transpose copy)
+        t_idx, n_idx = perm // N, perm % N
+        packed_p = packed[t_idx, n_idx]
         obs_h_p = traj.obs_history[t_idx, n_idx]
+
+        def get_batch(mth):
+            return (jax.lax.dynamic_slice_in_dim(
+                        obs_h_p, mth * mb_size, mb_size),
+                    jax.lax.dynamic_slice_in_dim(
+                        packed_p, mth * mb_size, mb_size))
 
         def unpack(p):
             priv = p[:, :npv]
@@ -379,10 +395,8 @@ def make_train_fns(env, args: PPOArgs, ac_args: ac.ACArgs = ac.ACArgs(),
 
         def minibatch_step(carry, mth):
             params, opt_state, adapt_opt_state, lr = carry
-            obs_h = jax.lax.dynamic_slice_in_dim(obs_h_p, mth * mb_size,
-                                                 mb_size)
-            priv, actions, logp, mu, values, adv, ret = unpack(
-                jax.lax.dynamic_slice_in_dim(packed, mth * mb_size, mb_size))
+            obs_h, pk = get_batch(mth)
+            priv, actions, logp, mu, values, adv, ret = unpack(pk)
             batch = (obs_h, priv, actions, logp, mu, values, adv, ret)
             # 80/20 split of the adaptation regression (ppo.py:163-183); in
             # sharding-invariant mode it is timestep-aligned so per-shard

@@ -128,6 +128,37 @@ def actor_mean(params, obs_history, latent, args: ACArgs = ACArgs()):
                             args.activation, args.compute_dtype)
 
 
+def actor_critic_heads(params, obs_history, latent, privileged_obs,
+                       args: ACArgs = ACArgs()):
+    """(actor mean, value) with the actor's and critic's first-layer GEMMs
+    over the SHARED obs_history input computed as ONE concatenated GEMM
+    (2100 x (512+512)) — bitwise identical per output column to the two
+    separate GEMMs, but one MXU pass in both the forward and the dW
+    backward. The small latent/privileged first-layer parts stay separate
+    (they need their own gradients)."""
+    a, c = params["actor"], params["critic"]
+    H = obs_history.shape[-1]
+    w_cat = jnp.concatenate([a[0]["w"][:H], c[0]["w"][:H]], axis=1)
+    y = _matmul(obs_history, w_cat, args.compute_dtype)
+    da = a[0]["w"].shape[1]
+    y_a = y[..., :da] + a[0]["b"] + _matmul(latent, a[0]["w"][H:],
+                                            args.compute_dtype)
+    y_c = y[..., da:] + c[0]["b"] + _matmul(privileged_obs, c[0]["w"][H:],
+                                            args.compute_dtype)
+    act = _act(args.activation)
+    za = act(y_a)
+    for i, lyr in enumerate(a[1:], start=1):
+        za = _matmul(za, lyr["w"], args.compute_dtype) + lyr["b"]
+        if i < len(a) - 1:
+            za = act(za)
+    zc = act(y_c)
+    for i, lyr in enumerate(c[1:], start=1):
+        zc = _matmul(zc, lyr["w"], args.compute_dtype) + lyr["b"]
+        if i < len(c) - 1:
+            zc = act(zc)
+    return za, zc[..., 0]
+
+
 def act_student(params, obs_history, args: ACArgs = ACArgs()):
     """Deployment-path inference (actor_critic.py:131-135)."""
     latent = adaptation_module(params, obs_history, args)
