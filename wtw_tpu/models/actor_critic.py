@@ -32,9 +32,12 @@ class ACArgs:
     activation: str = "elu"
     # Matmul compute dtype. "bfloat16" runs every layer's GEMM with bf16
     # inputs and fp32 accumulation (preferred_element_type) — parameters,
-    # biases, activations and the optimizer stay fp32. On TPU this halves
-    # the HBM traffic of the dominant (batch, 2100)-input GEMMs and doubles
-    # the MXU rate; the reference trains the same math in torch fp32
+    # biases, the optimizer, and each tower's OUTPUT stay fp32, while
+    # HIDDEN activations are kept in bf16 (the cast fuses into the GEMM
+    # epilogue, so the (batch, 512) activation tensors and their ELU
+    # forward/backward ride HBM at half width). On TPU this halves the
+    # traffic of the dominant (batch, 2100)-input GEMMs and doubles the
+    # MXU rate; the reference trains the same math in torch fp32
     # (actor_critic.py:19-147), so this is opt-in (default fp32).
     compute_dtype: str = "float32"
 
@@ -68,12 +71,19 @@ def _matmul(x, w, dtype):
         preferred_element_type=jnp.float32)
 
 
+def _hidden_act(x, activation, dtype):
+    # hidden activations live in the compute dtype (bias add happens in the
+    # f32 GEMM accumulator; the cast fuses into the GEMM epilogue)
+    if dtype != "float32":
+        x = x.astype(jnp.dtype(dtype))
+    return _act(activation)(x)
+
+
 def _apply_mlp(layers, x, activation, dtype="float32"):
-    act = _act(activation)
     for i, lyr in enumerate(layers):
         x = _matmul(x, lyr["w"], dtype) + lyr["b"]
         if i < len(layers) - 1:
-            x = act(x)
+            x = _hidden_act(x, activation, dtype)
     return x
 
 
@@ -83,7 +93,6 @@ def _apply_mlp_parts(layers, parts, activation, dtype="float32"):
     static row-slices of W — the (batch, 2100+latent) concat buffer never
     materializes in HBM (it would be read-write traffic comparable to the
     GEMM itself at 4096x24 samples)."""
-    act = _act(activation)
     w0 = layers[0]["w"]
     off, x = 0, layers[0]["b"]
     for p in parts:
@@ -92,11 +101,11 @@ def _apply_mlp_parts(layers, parts, activation, dtype="float32"):
         off += d
     assert off == w0.shape[0], (off, w0.shape)
     if len(layers) > 1:
-        x = act(x)
+        x = _hidden_act(x, activation, dtype)
     for i, lyr in enumerate(layers[1:], start=1):
         x = _matmul(x, lyr["w"], dtype) + lyr["b"]
         if i < len(layers) - 1:
-            x = act(x)
+            x = _hidden_act(x, activation, dtype)
     return x
 
 
@@ -145,17 +154,16 @@ def actor_critic_heads(params, obs_history, latent, privileged_obs,
                                             args.compute_dtype)
     y_c = y[..., da:] + c[0]["b"] + _matmul(privileged_obs, c[0]["w"][H:],
                                             args.compute_dtype)
-    act = _act(args.activation)
-    za = act(y_a)
+    za = _hidden_act(y_a, args.activation, args.compute_dtype)
     for i, lyr in enumerate(a[1:], start=1):
         za = _matmul(za, lyr["w"], args.compute_dtype) + lyr["b"]
         if i < len(a) - 1:
-            za = act(za)
-    zc = act(y_c)
+            za = _hidden_act(za, args.activation, args.compute_dtype)
+    zc = _hidden_act(y_c, args.activation, args.compute_dtype)
     for i, lyr in enumerate(c[1:], start=1):
         zc = _matmul(zc, lyr["w"], args.compute_dtype) + lyr["b"]
         if i < len(c) - 1:
-            zc = act(zc)
+            zc = _hidden_act(zc, args.activation, args.compute_dtype)
     return za, zc[..., 0]
 
 
