@@ -10,6 +10,16 @@ hardware start it with --sim:
 
 Control flow: R2 to stand up, R2 again to stop (dead-man gating,
 deployment_runner.py:111-115).
+
+B1 deployment: the reference's B1 path (deploy_policy.py:13-14,70-74)
+drives the 55 kg B1 through the external B1Py LCM bridge instead of the
+Go1 SDK bridge. B1Py is an out-of-repo dependency; the integration here is
+schema-level: run this script with `--preset b1_mob` (b1 kp/kd and joint
+defaults come from the preset) against a bridge that speaks the same four
+LCM channels (state_estimator_data, leg_control_data, rc_command,
+pd_plustau_targets — wtw_tpu/deploy/lcm_types.py). cpp/lcm_position_bridge
+--sim emulates that contract for HIL testing; on real B1 hardware, point
+B1Py's LCM relay at the same multicast addr/port.
 """
 import argparse
 import os

@@ -31,6 +31,10 @@ def main():
                     help="trot frequency sweep, comma-separated Hz")
     ap.add_argument("--out", default=None, help="append one JSON line here")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--obedience", action="store_true",
+                    help="sweep the non-gait command dims (body height/pitch, "
+                         "footswing height, stance width/length, vy, yaw "
+                         "rate) and report realized vs commanded")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +72,10 @@ def main():
         c[8] = 0.5              # stance duration
         c[9] = 0.08             # footswing height
         c[12] = 0.25            # stance width
+        # stance length must sit INSIDE the training range [0.35, 0.45]
+        # (scripts/go1/train.py:166): leaving it 0.0 feeds the policy an
+        # out-of-distribution command and measurably degrades tracking
+        c[13] = 0.40
         return c
 
     # ONE jitted scan rollout shared by every commanded-gait case (commands
@@ -91,6 +99,143 @@ def main():
         _, (vals, contacts) = jax.lax.scan(step, (world0, obs0),
                                            None, length=args.steps)
         return vals, contacts
+
+    if args.obedience:
+        # ------------------------------------------------------------------
+        # Command-obedience sweep over the non-gait dims of the 15-dim MoB
+        # command space (limits: /root/reference/scripts/go1/train.py:153-182;
+        # layout: legged_robot.py:710-824). Roll (dim 11), duration (dim 8)
+        # and the aux reward coef (dim 14) have degenerate reference ranges
+        # ([-0,0], [0.5,0.5], unused) and are reported as fixed.
+        # ------------------------------------------------------------------
+        from wtw_tpu.physics.engine import fk
+        from wtw_tpu.utils import quat as qu
+
+        model = env.model
+        base_h = cfg.rewards.base_height_target
+
+        @jax.jit
+        def rollout_traces(cmd):
+            key = jax.random.PRNGKey(args.seed)
+            world0 = env.init_state(key)
+            cmds = jnp.broadcast_to(cmd, world0.env.commands.shape)
+            world0 = world0.replace(env=world0.env.replace(commands=cmds))
+            world0, obs0 = env.get_observations(world0)
+
+            def step(carry, _):
+                world, obs = carry
+                world, obs, rew, done, info = env.step(world, policy(obs))
+                world = world.replace(env=world.env.replace(commands=cmds))
+                phys = world.env.phys
+
+                def feet_of(bp, bq, q):
+                    body_pos, body_quat, _, _ = fk(model, bp, bq, q)
+                    feet_R = qu.quat_to_matrix(body_quat[model.feet_body])
+                    return body_pos[model.feet_body] + jnp.einsum(
+                        "lij,lj->li", feet_R, model.feet_pos)
+
+                feet_w = jax.vmap(feet_of)(phys.base_pos, phys.base_quat,
+                                           phys.joint_q)
+                # yaw-frame foot positions relative to base (the raibert
+                # frame, corl_rewards.py:161-202)
+                rel = feet_w - phys.base_pos[:, None, :]
+                qc = qu.quat_conjugate(phys.base_quat)
+                feet_b = jax.vmap(lambda q, r: qu.quat_apply_yaw(
+                    jnp.broadcast_to(q, (4, 4)), r))(qc, rel)
+                roll, pitch, _ = jax.vmap(qu.quat_to_euler_xyz)(phys.base_quat)
+                vel_b = jax.vmap(qu.quat_rotate_inverse)(phys.base_quat,
+                                                         phys.base_lin_vel)
+                tr = {
+                    "base_z": phys.base_pos[:, 2],
+                    "roll": roll, "pitch": pitch,
+                    "vx": vel_b[:, 0], "vy": vel_b[:, 1],
+                    "wz": phys.base_ang_vel[:, 2],
+                    "foot_z": feet_w[..., 2],
+                    "foot_xy": feet_b[..., :2],
+                    "contact": world.env.last_contacts,
+                }
+                return (world, obs), tr
+
+            _, traces = jax.lax.scan(step, (world0, obs0), None,
+                                     length=args.steps)
+            return traces
+
+        def stats(tr, skip=50):
+            c = np.asarray(tr["contact"][skip:])            # (T, N, 4)
+            fz = np.asarray(tr["foot_z"][skip:])
+            fxy = np.asarray(tr["foot_xy"][skip:])
+            out = {k: float(np.mean(np.asarray(tr[k][skip:])))
+                   for k in ("base_z", "roll", "pitch", "vx", "vy", "wz")}
+            # stance width/length: yaw-frame foot xy averaged over CONTACT
+            # samples (feet order FR, FL, RR, RL)
+            cw = np.where(c, 1.0, np.nan)
+            x_mean = np.nanmean(fxy[..., 0] * cw, axis=(0, 1))
+            y_mean = np.nanmean(np.abs(fxy[..., 1]) * cw, axis=(0, 1))
+            out["stance_width"] = float(2 * np.mean(y_mean))
+            out["stance_length"] = float(np.mean(x_mean[:2])
+                                         - np.mean(x_mean[2:]))
+            # footswing apex: mean over swing segments of max foot z
+            apexes = []
+            for n in range(fz.shape[1]):
+                for f in range(4):
+                    z, inc = fz[:, n, f], c[:, n, f]
+                    seg_max, in_swing = -1.0, False
+                    for t in range(len(z)):
+                        if not inc[t]:
+                            seg_max = z[t] if not in_swing else max(
+                                seg_max, z[t])
+                            in_swing = True
+                        elif in_swing:
+                            apexes.append(seg_max)
+                            in_swing = False
+            out["foot_apex"] = float(np.mean(apexes)) if apexes else 0.0
+            return out
+
+        # (dim, label, values, target_fn, realized_key)
+        sweeps = [
+            (3, "body_height", [-0.15, 0.0, 0.10],
+             lambda v: base_h + v, "base_z"),
+            # desired pitch resolved through the reward's own convention:
+            # orientation_control builds the desired base quat from
+            # -pitch_cmd about +y (corl_rewards.py:148-159), so the euler
+            # pitch it drives toward is euler(quat(-cmd, y)).
+            (10, "body_pitch", [-0.3, 0.0, 0.3],
+             lambda v: float(qu.quat_to_euler_xyz(qu.quat_from_angle_axis(
+                 jnp.float32(-v), jnp.array([0.0, 1.0, 0.0])))[1]), "pitch"),
+            (9, "footswing_height", [0.06, 0.15, 0.30],
+             lambda v: v + 0.02, "foot_apex"),
+            (12, "stance_width", [0.15, 0.25, 0.40],
+             lambda v: v, "stance_width"),
+            (13, "stance_length", [0.35, 0.45], lambda v: v, "stance_length"),
+            (1, "vy", [-0.4, 0.4], lambda v: v, "vy"),
+            (2, "yaw_rate", [-0.8, 0.8], lambda v: v, "wz"),
+        ]
+        rows = []
+        for dim, label, values, target_fn, key in sweeps:
+            for v in values:
+                cmd = command_vec("trot", 3.0)
+                cmd[dim] = v
+                tr = rollout_traces(jnp.asarray(cmd))
+                st = stats(tr)
+                target = float(target_fn(v))
+                realized = st[key]
+                rows.append({
+                    "iteration": it, "dim": dim, "command": label,
+                    "value": round(v, 3), "target": round(target, 3),
+                    "realized": round(realized, 4),
+                    "err": round(realized - target, 4),
+                    "vx_err": round(st["vx"] - args.vx, 3),
+                })
+                print(json.dumps(rows[-1]))
+        fixed = {"gait_duration(8)": 0.5, "body_roll(11)": 0.0,
+                 "aux_reward_coef(14)": 0.0}
+        result = {"checkpoint": args.checkpoint, "iteration": it,
+                  "obedience": rows, "fixed_reference_dims": fixed}
+        print(json.dumps({"iteration": it, "n_cases": len(rows)}))
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(result) + "\n")
+        return
 
     rows = []
     cases = [(g, 3.0) for g in ("trot", "pace", "bound", "pronk")]

@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (evaluate while the TPU is "
                          "held by a training run)")
+    ap.add_argument("--interactive", action="store_true",
+                    help="drive the policy live from the keyboard (the "
+                         "joystick analog of tasks/go2_parkour.py:30-36): "
+                         "WASD velocities, 1-4 gaits, see "
+                         "wtw_tpu/utils/keyboard.py for the full map. "
+                         "Scriptable headlessly: echo 'ww2' | play.py "
+                         "--interactive --steps 200")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +101,49 @@ def main():
         commands[8] = 0.5     # duration
         commands[9] = args.footswing                # footswing height
         commands[12] = 0.25   # stance width
+        commands[13] = 0.40   # stance length (training range [0.35, 0.45];
+        #                       0.0 would be out-of-distribution input)
+
+    if args.interactive:
+        # live keyboard-commanded rollout: one jitted policy step per frame,
+        # commands re-pinned from the keyboard source every step
+        import time
+
+        from wtw_tpu.utils.keyboard import KeyboardCommandSource
+
+        @jax.jit
+        def step_once(world, obs, cmd):
+            cmds = jnp.broadcast_to(cmd, world.env.commands.shape)
+            world = world.replace(env=world.env.replace(commands=cmds))
+            world, obs, rew, done, info = env.step(world, policy(obs))
+            vel_b = world.env.phys.base_lin_vel
+            return world, obs, (vel_b[:, 0].mean(), vel_b[:, 1].mean(),
+                                world.env.phys.base_ang_vel[:, 2].mean(),
+                                world.env.phys.base_pos[:, 2].mean())
+
+        world = env.init_state(jax.random.PRNGKey(args.seed))
+        world, obs = env.get_observations(world)
+        src = KeyboardCommandSource(nc, vx=args.vx, freq=args.freq,
+                                    footswing=args.footswing)
+        src.cmd[:] = commands
+        dt = env.dt
+        with src:
+            print("interactive: w/s vx  a/d vy  q/e yaw  1-4 gait  "
+                  "z/x height  t/g pitch  f/h swing  space stop  ESC quit")
+            for step in range(args.steps if args.steps > 0 else 10 ** 9):
+                t0 = time.time()
+                cmd = jnp.asarray(src.poll())
+                if src.quit:
+                    break
+                world, obs, tele = step_once(world, obs, cmd)
+                if step % 10 == 0:
+                    vx, vy, wz, h = (float(x) for x in tele)
+                    print(f"\r[{step:5d}] {src.status()} || realized "
+                          f"vx {vx:+.2f} vy {vy:+.2f} yaw {wz:+.2f} "
+                          f"h {h:.2f}   ", end="", flush=True)
+                time.sleep(max(0.0, dt - (time.time() - t0)))
+        print()
+        return
 
     summary, traces = evaluate_policy(env, policy, steps=args.steps,
                                       seed=args.seed, commands=commands)

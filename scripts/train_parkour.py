@@ -165,6 +165,27 @@ def main():
         # terrain-level curve in metrics.csv is one continuous series
         it0 = int(blob.get("iteration", 0))
 
+    # per-track-type promotion stats: map terrain COLUMN -> generator kind
+    # with the same cumulated-proportions walk build_parkour uses
+    # (terrainParkour.py:24-33), so the monitor/CSV can show which track
+    # type blocks promotion
+    tcfg = cfg.terrain
+    _keys, _cum, _tot = [], [], 0.0
+    for _k, _v in tcfg.proportions:
+        if _v != 0.0:
+            _tot += float(_v)
+            _keys.append(_k)
+            _cum.append(round(_tot, 2))
+    col_kinds = []
+    for _j in range(tcfg.num_terrains):
+        _c, _k = _j / tcfg.num_terrains, 0
+        while _k < len(_cum) and _c >= _cum[_k]:
+            _k += 1
+        col_kinds.append(_keys[_k] if _k < len(_keys) else "flat")
+    kind_cols = {}
+    for _j, _k in enumerate(col_kinds):
+        kind_cols.setdefault(_k.replace("_parkour", ""), []).append(_j)
+
     train = jax.jit(train_fn_factory(env, ppo))
     csv_path = os.path.join(run_dir, "metrics.csv")
     csv_keys = None
@@ -187,6 +208,13 @@ def main():
                 "pg_loss": float(stats["pg_loss"]),
                 "lr": float(stats["lr"]),
             }
+            if len(kind_cols) > 1:
+                lvl = np.asarray(jax.device_get(world.env.terrain_level))
+                typ = np.asarray(jax.device_get(world.env.terrain_type))
+                for kind, cols in sorted(kind_cols.items()):
+                    m = np.isin(typ, cols)
+                    row[f"lvl_{kind}"] = (float(lvl[m].mean())
+                                          if m.any() else -1.0)
             if "episode_sums" in stats:
                 ep = np.asarray(stats["episode_sums"])
                 row["ep_rew_lin_vel"] = float(ep[0])
@@ -203,10 +231,13 @@ def main():
                 if new:
                     w.writeheader()
                 w.writerow(row)
+            by_type = " ".join(
+                f"{k[:2]}{row[f'lvl_{k}']:.1f}" for k in sorted(kind_cols)
+                if f"lvl_{k}" in row) if len(kind_cols) > 1 else ""
             print(f"it {it:5d} | {row['steps_per_s']:.0f} steps/s | "
                   f"rew {row['mean_step_reward']:.3f} | "
-                  f"lvl {row['terrain_level']:.2f} | "
-                  f"eplen {row['mean_episode_length']:.1f}s | "
+                  f"lvl {row['terrain_level']:.2f} "
+                  f"{by_type}| eplen {row['mean_episode_length']:.1f}s | "
                   f"vloss {row['value_loss']:.3f}")
         if args.save_interval and it > it0 and it % args.save_interval == 0:
             _save(run_dir, it, ts, world, obs_n, it + 1)

@@ -72,7 +72,9 @@ def main():
 
     if args.mode == "generate":
         if args.checkpoint:
-            with open(args.checkpoint, "rb") as f:
+            opener = (__import__("gzip").open
+                      if args.checkpoint.endswith(".gz") else open)
+            with opener(args.checkpoint, "rb") as f:
                 blob = pickle.load(f)
             ts = jax.tree.map(jnp.asarray, blob["ts"])
 
@@ -171,7 +173,10 @@ def main():
     else:
         assert args.demos, "--demos required for train"
         with open(args.demos, "rb") as f:
-            demos = jax.tree.map(jnp.asarray, pickle.load(f))
+            # bf16 storage for the wide f32 fields: two resident buffers
+            # (demos + online ring) OOM a 16 GB chip at 1024 envs otherwise
+            demos = D.buffer_astype(
+                jax.tree.map(jnp.asarray, pickle.load(f)))
         ts, rb = D.train_vision_student(
             env, demos, total_env_steps=args.env_steps,
             key=jax.random.PRNGKey(args.seed), args=ddpg_args)

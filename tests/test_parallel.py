@@ -88,6 +88,85 @@ def test_distributed_cat_ppo_runs():
 
 
 @pytest.mark.slow
+def test_sharded_matches_unsharded_cat_ppo():
+    """The CaT-stack multi-chip correctness claim (the stack running the
+    multi-hour parkour jobs): with CatPPOArgs.sharding_invariant, a 4-device
+    env-sharded run computes the SAME training trajectory as the
+    single-device run — params, CaT Polyak running maxes, obs/value RMS
+    moments, and per-env terrain levels all match after 3 iterations.
+    Reference semantics being distributed: utils/cat_common.py:11-115 +
+    utils/constraint_manager.py:52-77."""
+    from jax.sharding import Mesh
+    from wtw_tpu.envs.parkour_env import ParkourCfg, ParkourEnv
+    from wtw_tpu.learn.cat_ppo import (CatPPOArgs, init_train_state as
+                                       cat_init, make_train_fn as
+                                       cat_make_train, rms_norm, rms_update)
+    from wtw_tpu.parallel.mesh import (AXIS, make_distributed_cat_train_fn,
+                                       shard_parkour_world)
+    from wtw_tpu.terrain import ParkourTerrainCfg
+
+    cfg = ParkourCfg(num_envs=8, terrain=ParkourTerrainCfg(
+        num_levels=2, num_terrains=2, border_size=4.0))
+    model = load_robot("go2")
+    args = CatPPOArgs(num_steps=4, num_minibatches=2, update_epochs=1,
+                      num_iterations=8, sharding_invariant=True)
+
+    # single-device reference trajectory
+    env1 = ParkourEnv(cfg, model, seed=0)
+    world = env1.init_state(jax.random.PRNGKey(0))
+    ts = cat_init(jax.random.PRNGKey(1), env1, args)
+    obs = env1.get_observations(world)
+    ts = ts.replace(obs_rms=rms_update(ts.obs_rms, obs))
+    obs_n = rms_norm(ts.obs_rms, obs)
+    train1 = jax.jit(cat_make_train(env1, args))
+    ts1, w1, o1 = ts, world, obs_n
+    for _ in range(3):
+        ts1, w1, o1, stats1 = train1(ts1, w1, o1)
+
+    # 4-device sharded run from the SAME initial state
+    devices = np.array(jax.devices("cpu")[:4])
+    mesh = Mesh(devices, (AXIS,))
+    env4 = ParkourEnv(cfg, model, seed=0, axis_name=AXIS)
+    world_s, obs_s = shard_parkour_world(mesh, world, obs_n)
+    ts_s = replicate(mesh, ts)
+    train4 = make_distributed_cat_train_fn(env4, args, mesh, ts, world,
+                                           obs_n)
+    ts4, w4, o4 = ts_s, world_s, obs_s
+    for _ in range(3):
+        ts4, w4, o4, stats4 = train4(ts4, w4, o4)
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(ts1.params)),
+                    jax.tree.leaves(jax.device_get(ts4.params))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-3)
+    # CaT Polyak running maxes: the pmax'd batch max itself is exact, but
+    # the violations feeding it inherit float32 reassociation noise from
+    # the physics (XLA vectorizes an 8-env and a 2-env batch differently
+    # on CPU) — same tolerance class as the param/base_pos checks
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(w4.cat.running_max)),
+        np.asarray(jax.device_get(w1.cat.running_max)), rtol=1e-3)
+    # RMS normalizer moments
+    for field in ("mean", "var", "count"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(jax.device_get(ts4.obs_rms), field)),
+            np.asarray(getattr(jax.device_get(ts1.obs_rms), field)),
+            rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(getattr(jax.device_get(ts4.value_rms), field)),
+            np.asarray(getattr(jax.device_get(ts1.value_rms), field)),
+            rtol=1e-3, atol=1e-4)
+    # per-env terrain curriculum state and physics trajectories
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(w4.env.terrain_level)),
+        np.asarray(jax.device_get(w1.env.terrain_level)))
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(w4.env.phys.base_pos)),
+        np.asarray(jax.device_get(w1.env.phys.base_pos)), atol=1e-3)
+    np.testing.assert_allclose(float(stats4["loss"]), float(stats1["loss"]),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_sharded_matches_unsharded_ppo_cse():
     """The actual multi-chip correctness claim: with sharding-invariant
     sampling/minibatching (PPOArgs.sharding_invariant), a 4-device

@@ -35,3 +35,31 @@ def test_phase_timer():
     s = t.summary()
     assert set(s) == {"a", "b"}
     assert t.summary() == {}
+
+
+def test_keyboard_command_source():
+    """The interactive sim-eval command source (the joystick analog,
+    tasks/go2_parkour.py:30-36): scripted keys edit the 15-dim command
+    vector within the reference limits (scripts/go1/train.py:153-182)."""
+    from wtw_tpu.utils.keyboard import KeyboardCommandSource
+
+    src = KeyboardCommandSource(15, vx=0.0)
+    src.feed("ww2=")          # vx +0.2, gait pace, freq +0.25
+    cmd = src.poll()
+    assert abs(cmd[0] - 0.2) < 1e-6
+    assert tuple(cmd[5:8]) == (0.0, 0.0, 0.5) and src.gait == "pace"
+    assert abs(cmd[4] - 3.25) < 1e-6
+    # limits clamp (vx limit 1.0)
+    src.feed("w" * 20)
+    assert src.poll()[0] <= 1.0 + 1e-6
+    # space zeroes velocities, r restores defaults
+    src.feed("qq ")
+    cmd = src.poll()
+    assert cmd[0] == 0.0 and cmd[2] == 0.0
+    src.feed("r")
+    cmd = src.poll()
+    assert cmd[4] == 3.0 and src.gait == "trot"
+    # ESC requests quit
+    src.feed("\x1b")
+    src.poll()
+    assert src.quit

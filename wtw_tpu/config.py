@@ -583,6 +583,11 @@ def apply_overrides(obj, overrides):
         return _dc.replace(node, **{name: _coerce(cur, raw)})
 
     def _coerce(cur, raw):
+        if raw.lower() in ("none", "null"):
+            # disable Optional features (e.g. rewards.sigma_rew_neg_init=none
+            # turns the anneal stabilizer off; ppo.std_range=none drops the
+            # policy-std clamp — the reference-exact hyperparameters)
+            return None
         if isinstance(cur, bool):
             return raw.lower() in ("1", "true", "yes", "on")
         if isinstance(cur, int) and not isinstance(cur, bool):

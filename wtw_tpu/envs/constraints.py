@@ -90,6 +90,9 @@ class CaTManager:
             a, b = self.offsets[n]
             viol[n] = jnp.mean((jnp.max(probs[:, a:b], axis=1) > 0.0)
                                .astype(jnp.float32))
+            if self.axis_name is not None:
+                # global violation fraction (shards hold equal env counts)
+                viol[n] = jax.lax.pmean(viol[n], self.axis_name)
         return CaTState(running_max=new_rm), env_prob, viol
 
 

@@ -41,6 +41,15 @@ class CatPPOArgs:
     clip_vloss: bool = True
     anneal_lr: bool = True
     hidden: tuple = (512, 256, 128)
+    # Sharding-invariant mode (mirrors PPOArgs.sharding_invariant): action
+    # noise from per-env RNG streams, env-strided minibatches reused across
+    # epochs, and global-batch advantage moments — an n-device env-sharded
+    # run computes the SAME training trajectory (params, CaT Polyak maxes,
+    # RMS moments, terrain levels) as the single-device run
+    # (tests/test_parallel.py::test_sharded_matches_unsharded_cat_ppo).
+    # Default off = reference semantics (fresh permutation per epoch,
+    # algos/PPO.py:276-285).
+    sharding_invariant: bool = False
 
 
 @struct.dataclass
@@ -209,7 +218,16 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
             key, k_act = jax.random.split(key)
             mean = get_action_mean(ts.params, obs_norm)
             std = jnp.exp(ts.params["actor_logstd"])
-            actions = mean + std * jax.random.normal(k_act, mean.shape)
+            if args.sharding_invariant:
+                # per-env noise streams: identical draws per env no matter
+                # how the env axis is sharded (fold constant 977 is unused
+                # by the env's own per-env streams, parkour_env.py:1009)
+                noise = jax.vmap(lambda k: jax.random.normal(
+                    jax.random.fold_in(k, 977), (mean.shape[-1],)))(
+                    world.env.rng)
+                actions = mean + std * noise
+            else:
+                actions = mean + std * jax.random.normal(k_act, mean.shape)
             logp, _ = log_prob_entropy(ts.params, obs_norm, actions)
             value = get_value(ts.params, obs_norm)
             world, next_obs, rew, done_prob, info = env.step(world, actions)
@@ -265,7 +283,12 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
             logp, ent = log_prob_entropy(params, o, a)
             ratio = jnp.exp(logp - old_logp)
             if args.norm_adv:
-                adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+                # global-batch moments: every shard holds an equal share of
+                # each minibatch, so pmean'd mean/var == the unsharded
+                # minibatch moments (identity when unsharded)
+                m = _pmean(adv.mean())
+                v = _pmean(jnp.mean(jnp.square(adv - m)))
+                adv = (adv - m) / (jnp.sqrt(v) + 1e-8)
             pg1 = -adv * ratio
             pg2 = -adv * jnp.clip(ratio, 1 - args.clip_coef, 1 + args.clip_coef)
             pg_loss = jnp.maximum(pg1, pg2).mean()
@@ -284,6 +307,17 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
         mb_size = B // args.num_minibatches
         key, k_perm = jax.random.split(key)
 
+        if args.sharding_invariant:
+            # env-strided minibatches (env n -> minibatch n % M): every
+            # shard contributes an equal share to each minibatch, so pmean'd
+            # gradients equal the unsharded global-batch gradients
+            import numpy as _np
+            M = args.num_minibatches
+            assert N % M == 0, "env count per shard must divide minibatches"
+            base = _np.arange(B).reshape(args.num_steps, N)
+            inv_idxs = jnp.stack(
+                [jnp.asarray(base[:, mth::M].reshape(-1)) for mth in range(M)])
+
         def epoch_step(carry, k_ep):
             params, opt_state = carry
             perm = jax.random.permutation(k_ep, B)
@@ -299,8 +333,11 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
                 params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
                 return (params, opt_state), (loss,) + aux
 
-            idxs = perm[:mb_size * args.num_minibatches].reshape(
-                args.num_minibatches, mb_size)
+            if args.sharding_invariant:
+                idxs = inv_idxs
+            else:
+                idxs = perm[:mb_size * args.num_minibatches].reshape(
+                    args.num_minibatches, mb_size)
             (params, opt_state), aux = jax.lax.scan(
                 mb_step, (params, opt_state), idxs)
             return (params, opt_state), aux

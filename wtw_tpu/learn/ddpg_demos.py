@@ -168,30 +168,46 @@ class SeqBuffer:
 
 
 def init_buffer(args: DDPGArgs, num_envs, priv_dim, act_dim) -> SeqBuffer:
+    """The wide per-step tensors (obs/priv/hidden) are stored in bf16 —
+    with TWO resident buffers (online ring + expert demos) the f32 variants
+    OOM a 16 GB chip at 1024 envs x 512 steps; depth frames are uint8
+    (DDPG_demos_rnn_vision.py:523-525). buffer_sample casts back to f32."""
     T, N = args.buffer_steps, num_envs
+    h = jnp.bfloat16
     return SeqBuffer(
-        obs=jnp.zeros((T, N, args.proprio_dim)),
-        priv=jnp.zeros((T, N, priv_dim)),
+        obs=jnp.zeros((T, N, args.proprio_dim), h),
+        priv=jnp.zeros((T, N, priv_dim), h),
         vobs=jnp.zeros((T, N, args.vis_hw, args.vis_hw), jnp.uint8),
         actions=jnp.zeros((T, N, act_dim)),
         rewards=jnp.zeros((T, N)),
         done_prob=jnp.zeros((T, N)),
         true_dones=jnp.zeros((T, N)),
-        hidden_in=jnp.zeros((T, N, args.rnn_hidden)),
+        hidden_in=jnp.zeros((T, N, args.rnn_hidden), h),
         pos=jnp.int32(0), filled=jnp.int32(0))
+
+
+def buffer_astype(buf: SeqBuffer) -> SeqBuffer:
+    """Cast a loaded (possibly f32, pre-bf16) demo buffer to the storage
+    dtypes init_buffer uses, so old rb_demos.pkl files stay usable without
+    doubling their device residency."""
+    h = jnp.bfloat16
+    return buf.replace(
+        obs=jnp.asarray(buf.obs, h), priv=jnp.asarray(buf.priv, h),
+        hidden_in=jnp.asarray(buf.hidden_in, h))
 
 
 def buffer_add(buf: SeqBuffer, obs, priv, vobs_u8, actions, rewards,
                done_prob, true_dones, hidden_in) -> SeqBuffer:
     i = buf.pos
+    st = lambda a, v: a.at[i].set(jnp.asarray(v, a.dtype))
     return buf.replace(
-        obs=buf.obs.at[i].set(obs), priv=buf.priv.at[i].set(priv),
+        obs=st(buf.obs, obs), priv=st(buf.priv, priv),
         vobs=buf.vobs.at[i].set(vobs_u8),
-        actions=buf.actions.at[i].set(actions),
-        rewards=buf.rewards.at[i].set(rewards),
-        done_prob=buf.done_prob.at[i].set(done_prob),
-        true_dones=buf.true_dones.at[i].set(true_dones),
-        hidden_in=buf.hidden_in.at[i].set(hidden_in),
+        actions=st(buf.actions, actions),
+        rewards=st(buf.rewards, rewards),
+        done_prob=st(buf.done_prob, done_prob),
+        true_dones=st(buf.true_dones, true_dones),
+        hidden_in=st(buf.hidden_in, hidden_in),
         pos=(buf.pos + 1) % buf.obs.shape[0],
         filled=jnp.minimum(buf.filled + 1, buf.obs.shape[0]))
 
@@ -219,15 +235,16 @@ def buffer_sample(buf: SeqBuffer, key, batch: int, seq_len: int):
     prior_done = jnp.cumsum(
         jnp.concatenate([jnp.zeros_like(dones[:, :1]), dones[:, :-1]], 1), 1)
     mask = (prior_done == 0).astype(jnp.float32)
+    f32 = lambda a: a.astype(jnp.float32)
     return {
-        "obs": g(buf.obs), "priv": g(buf.priv),
+        "obs": f32(g(buf.obs)), "priv": f32(g(buf.priv)),
         "vobs": g(buf.vobs).astype(jnp.float32) / 255.0,
         "actions": g(buf.actions), "rewards": g(buf.rewards),
         "done_prob": g(buf.done_prob), "true_dones": dones,
-        "next_obs": g1(buf.obs), "next_priv": g1(buf.priv),
+        "next_obs": f32(g1(buf.obs)), "next_priv": f32(g1(buf.priv)),
         "next_vobs": g1(buf.vobs).astype(jnp.float32) / 255.0,
-        "hidden_in0": buf.hidden_in[starts, envs_],             # (B, rnn)
-        "hidden_out0": buf.hidden_in[(starts + 1) % T, envs_],
+        "hidden_in0": f32(buf.hidden_in[starts, envs_]),        # (B, rnn)
+        "hidden_out0": f32(buf.hidden_in[(starts + 1) % T, envs_]),
         "mask": mask,
     }
 

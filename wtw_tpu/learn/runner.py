@@ -77,6 +77,35 @@ class Runner:
                 from torch.utils.tensorboard import SummaryWriter
                 self._tb = SummaryWriter(
                     os.path.join(runner_args.run_dir, "tb"))
+                # Canned dashboard layout (TB "Custom Scalars" tab) — the
+                # analog of the reference's .charts.yml chart spec consumed
+                # by ml_dash (scripts/go1/train.py:227-253): the standard
+                # WTW training dashboard, one chart per headline metric.
+                self._tb.add_custom_scalars({
+                    "training": {
+                        "episode reward": ["Multiline", ["rew_total"]],
+                        "tracking": ["Multiline", [
+                            "rew_tracking_lin_vel", "rew_tracking_ang_vel"]],
+                        "gait shaping": ["Multiline", [
+                            "rew_tracking_contacts_shaped_force",
+                            "rew_tracking_contacts_shaped_vel",
+                            "rew_orientation_control"]],
+                        "smoothness": ["Multiline", [
+                            "rew_action_smoothness_1",
+                            "rew_action_smoothness_2", "rew_dof_pos"]],
+                        "adaptation loss": ["Multiline", ["adaptation_loss"]],
+                    },
+                    "optimization": {
+                        "losses": ["Multiline", ["value_loss",
+                                                 "surrogate_loss"]],
+                        "kl / lr": ["Multiline", ["kl_mean", "lr"]],
+                        "throughput": ["Multiline", ["steps_per_s"]],
+                    },
+                    "eval": {
+                        "train vs eval reward": ["Multiline", [
+                            "rew_total", "eval_rew_total"]],
+                    },
+                })
             except Exception:
                 pass                       # torch/tensorboard absent: CSV only
         self._it_offset = 0
