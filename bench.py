@@ -85,6 +85,12 @@ def main():
     if args_cli.mode == "train":
         fn = jax.jit(make_train_fns(env, ppo_args, ac_args),
                      donate_argnums=(0,))
+        # abstract arg shapes for the MFU cost analysis (the live buffers
+        # are donated by the timed loop, so lower() from shapes instead)
+        fn_for_cost = fn
+        cost_args = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (ts, world, obs_dict))
 
         def run_once(state):
             ts, world, obs_dict = state
@@ -93,6 +99,7 @@ def main():
 
         state = (ts, world, obs_dict)
     else:
+        fn_for_cost, cost_args = None, None
         def body(world, _):
             world, _, rew, _, _ = env.step(
                 world, jnp.zeros((env.num_envs, env.num_actions)))
@@ -128,9 +135,52 @@ def main():
         "unit": "env-steps/s/chip",
         "vs_baseline": round(env_steps_per_s / baseline_per_chip, 4),
     }
+    mfu = _mfu(fn_for_cost, cost_args, dt, jax.devices()[0].device_kind)
+    if mfu is not None:
+        result["mfu"] = mfu["mfu"]
+        result["achieved_tflops"] = mfu["achieved_tflops"]
     print(json.dumps(result))
     print(f"# iter time {dt*1000:.1f} ms | warmup+compile {compile_s:.1f} s "
           f"| device {jax.devices()[0].device_kind}", file=sys.stderr)
+    if mfu is not None:
+        print(f"# MFU {100*mfu['mfu']:.1f}% — {mfu['achieved_tflops']:.1f} "
+              f"achieved TFLOP/s vs {mfu['peak_tflops']:.0f} peak "
+              f"({mfu['flops_per_iter']/1e12:.2f} TFLOP/iter, XLA "
+              f"cost-analysis count)", file=sys.stderr)
+
+
+# Peak dense-matmul throughput per chip, bf16 (the compute dtype of every
+# network GEMM in this workload). Sources: Google Cloud TPU docs
+# (v5e 197 bf16 TFLOP/s; v5p 459; v4 275; v6e 918).
+_PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v5": 459.0,
+    "TPU v5p": 459.0, "TPU v4": 275.0, "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def _mfu(fn, fn_args, dt_s, device_kind):
+    """Model-FLOPs-utilization of one train iteration: XLA's own static
+    FLOP count for the compiled executable / wall time / chip peak.
+    Returns None when the backend can't report cost analysis (e.g. CPU)."""
+    peak = _PEAK_BF16_TFLOPS.get(device_kind)
+    if peak is None or fn is None:
+        return None
+    try:
+        cost = fn.lower(*fn_args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception as e:
+        print(f"# MFU unavailable: {e}", file=sys.stderr)
+        return None
+    if flops <= 0:
+        return None
+    achieved = flops / dt_s / 1e12
+    return {"mfu": round(achieved / peak, 4),
+            "achieved_tflops": round(achieved, 2),
+            "peak_tflops": peak,
+            "flops_per_iter": flops}
 
 
 

@@ -357,10 +357,34 @@ class Backend {
 // lcm_position.cpp:223-229).
 class SimBackend : public Backend {
  public:
-  SimBackend() {
+  explicit SimBackend(bool rc_demo = false)
+      : rc_demo_(rc_demo), t0_(std::chrono::steady_clock::now()) {
     const double def[12] = {-0.1, 0.8, -1.5, 0.1, 0.8, -1.5,
                             -0.1, 1.0, -1.5, 0.1, 1.0, -1.5};
     for (int i = 0; i < 12; ++i) st_.q[i] = def[i];
+  }
+  // Scripted operator for HIL runs (--rc-demo): walks the reference's RC
+  // protocol (cheetah_state_estimator.py:148-221) through a live
+  // gait-switching session — forward stick, then gait mode buttons
+  // trot -> bound -> pace -> pronk every 6 s, and a step-frequency stick
+  // ramp in the final segment (the right control mode defaults to
+  // step_frequency).
+  void fill_rc(RcCommandMsg& rc) override {
+    if (!rc_demo_) return;
+    // the scripted session clock starts at the FIRST PD command received
+    // (i.e. when the controller is actually up), not at bridge launch —
+    // controller startup time must not eat the first gait segment
+    if (!started_) return;
+    double t = std::chrono::duration<double>(
+                   std::chrono::steady_clock::now() - t0_)
+                   .count();
+    rc.left_stick[1] = t > 1.0 ? 0.5f : 0.0f;     // cmd_x = 0.5 m/s
+    if (t < 8.0) rc.mode = 0;                     // trot
+    else if (t < 16.0) rc.mode = 2;               // bound
+    else if (t < 24.0) rc.mode = 3;               // pace
+    else rc.mode = 1;                             // pronk
+    // freq stick: 3.0 Hz -> 4.0 Hz in the pronk segment
+    rc.right_stick[1] = t >= 24.0 ? 1.0f : 0.0f;
   }
   void read(JointState& s) override {
     std::lock_guard<std::mutex> lk(mu_);
@@ -369,6 +393,10 @@ class SimBackend : public Backend {
   }
   void command(const PdTauTargets& t) override {
     std::lock_guard<std::mutex> lk(mu_);
+    if (!started_) {
+      started_ = true;
+      t0_ = std::chrono::steady_clock::now();
+    }
     const double dt = 0.002, inertia = 0.05, damping = 0.2;
     for (int i = 0; i < 12; ++i) {
       double tau = t.kp[i] * (t.q_des[i] - st_.q[i]) +
@@ -384,6 +412,9 @@ class SimBackend : public Backend {
  private:
   std::mutex mu_;
   JointState st_{};
+  bool rc_demo_ = false;
+  bool started_ = false;
+  std::chrono::steady_clock::time_point t0_;
 };
 
 #ifdef USE_UNITREE_SDK
@@ -475,9 +506,11 @@ int main(int argc, char** argv) {
   int port = 7667;
   double duration_s = -1;  // run forever
   bool sim = false;
+  bool rc_demo = false;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     if (a == "--sim") sim = true;
+    else if (a == "--rc-demo") rc_demo = true;
     else if (a == "--addr" && i + 1 < argc) addr = argv[++i];
     else if (a == "--port" && i + 1 < argc) port = atoi(argv[++i]);
     else if (a == "--duration-s" && i + 1 < argc) duration_s = atof(argv[++i]);
@@ -492,7 +525,7 @@ int main(int argc, char** argv) {
   }
 
   UdpLcm lcm(addr, port);
-  SimBackend sim_backend;
+  SimBackend sim_backend(rc_demo);
   Backend* backend_p = &sim_backend;
 #ifdef USE_UNITREE_SDK
   UnitreeBackend hw_backend;

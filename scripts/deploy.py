@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--max-yaw-vel", type=float, default=1.0)
     ap.add_argument("--no-wait", action="store_true",
                     help="skip the R2 gate (sim bridge testing)")
+    ap.add_argument("--max-steps", type=int, default=10_000_000,
+                    help="policy steps before exiting (HIL sessions)")
+    ap.add_argument("--trace", default=None,
+                    help="write a per-step jsonl HIL session log "
+                         "(commands/actions/joint state) to this path")
     args = ap.parse_args()
 
     from wtw_tpu.config import PRESETS
@@ -61,10 +66,20 @@ def main():
                               num_obs_history=cfg.env.num_observation_history)
     if args.no_wait:
         se.right_lower_right_switch_pressed = True
+    trace = [] if args.trace else None
     try:
-        runner.run()
+        runner.run(max_steps=args.max_steps, trace=trace)
     finally:
         se.close()
+        if trace:
+            import json
+            with open(args.trace, "w") as f:
+                for row in trace:
+                    f.write(json.dumps(row) + "\n")
+            hz = ((len(trace) - 1) / max(trace[-1]["t"] - trace[0]["t"], 1e-9)
+                  if len(trace) > 1 else 0.0)
+            print(f"trace: {len(trace)} steps -> {args.trace} "
+                  f"| achieved {hz:.1f} Hz")
 
 
 if __name__ == "__main__":

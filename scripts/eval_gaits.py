@@ -47,7 +47,9 @@ def main():
     from wtw_tpu.learn.eval_metrics import METRICS_FNS, classify_contacts
     from wtw_tpu.models import actor_critic as ac
 
-    with open(args.checkpoint, "rb") as f:
+    opener = (__import__("gzip").open if args.checkpoint.endswith(".gz")
+              else open)
+    with opener(args.checkpoint, "rb") as f:
         blob = pickle.load(f)
     cfg = blob["cfg"]
     cfg = dataclasses.replace(cfg, env=dataclasses.replace(
@@ -160,36 +162,9 @@ def main():
                                      length=args.steps)
             return traces
 
-        def stats(tr, skip=50):
-            c = np.asarray(tr["contact"][skip:])            # (T, N, 4)
-            fz = np.asarray(tr["foot_z"][skip:])
-            fxy = np.asarray(tr["foot_xy"][skip:])
-            out = {k: float(np.mean(np.asarray(tr[k][skip:])))
-                   for k in ("base_z", "roll", "pitch", "vx", "vy", "wz")}
-            # stance width/length: yaw-frame foot xy averaged over CONTACT
-            # samples (feet order FR, FL, RR, RL)
-            cw = np.where(c, 1.0, np.nan)
-            x_mean = np.nanmean(fxy[..., 0] * cw, axis=(0, 1))
-            y_mean = np.nanmean(np.abs(fxy[..., 1]) * cw, axis=(0, 1))
-            out["stance_width"] = float(2 * np.mean(y_mean))
-            out["stance_length"] = float(np.mean(x_mean[:2])
-                                         - np.mean(x_mean[2:]))
-            # footswing apex: mean over swing segments of max foot z
-            apexes = []
-            for n in range(fz.shape[1]):
-                for f in range(4):
-                    z, inc = fz[:, n, f], c[:, n, f]
-                    seg_max, in_swing = -1.0, False
-                    for t in range(len(z)):
-                        if not inc[t]:
-                            seg_max = z[t] if not in_swing else max(
-                                seg_max, z[t])
-                            in_swing = True
-                        elif in_swing:
-                            apexes.append(seg_max)
-                            in_swing = False
-            out["foot_apex"] = float(np.mean(apexes)) if apexes else 0.0
-            return out
+        # shared, unit-tested estimators (validated against scripted-gait
+        # ground truth in tests/test_utils.py::TestObedienceEstimators)
+        from wtw_tpu.learn.eval_metrics import obedience_stats as stats
 
         # (dim, label, values, target_fn, realized_key)
         sweeps = [

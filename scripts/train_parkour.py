@@ -211,10 +211,18 @@ def main():
             if len(kind_cols) > 1:
                 lvl = np.asarray(jax.device_get(world.env.terrain_level))
                 typ = np.asarray(jax.device_get(world.env.terrain_type))
+                cross_t = np.asarray(stats.get("crossings_by_type", []))
+                dones_t = np.asarray(stats.get("dones_by_type", []))
                 for kind, cols in sorted(kind_cols.items()):
                     m = np.isin(typ, cols)
                     row[f"lvl_{kind}"] = (float(lvl[m].mean())
                                           if m.any() else -1.0)
+                    if cross_t.size:
+                        # promotion-rule crossings (>80% of the track at
+                        # done) per kind, this log window's rollout
+                        d = float(dones_t[cols].sum())
+                        row[f"cross_{kind}"] = (
+                            float(cross_t[cols].sum()) / d if d else 0.0)
             if "episode_sums" in stats:
                 ep = np.asarray(stats["episode_sums"])
                 row["ep_rew_lin_vel"] = float(ep[0])

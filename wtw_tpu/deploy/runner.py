@@ -51,20 +51,31 @@ class DeploymentRunner:
         self.log("Calibration complete.")
 
     # ------------------------------------------------------------------
-    def run(self, max_steps: int = 10_000_000):
+    def run(self, max_steps: int = 10_000_000, trace=None):
         """Main loop (:125-222): R2-gated start, policy stepping, emergency
-        recovery on extreme orientation."""
+        recovery on extreme orientation. trace: optional list — one dict per
+        policy step (wall time, live 15-dim command, action, rpy) for HIL
+        session logging."""
         agent = self.agent
         obs = agent.reset()
         self.obs_history = np.tile(obs, self.num_obs_history)
         self.calibrate(wait=True, low=False)
         self.log("Starting policy... press R2 again to stop.")
 
+        t_run0 = time.time()
         for step in range(max_steps):
             action = np.asarray(self.policy(self.obs_history))
             obs = agent.step(action)
             self.obs_history = np.concatenate(
                 [self.obs_history[len(obs):], obs])
+            if trace is not None:
+                trace.append({
+                    "t": round(time.time() - t_run0, 4), "step": step,
+                    "commands": np.asarray(agent.commands).round(4).tolist(),
+                    "action": action.round(3).tolist(),
+                    "q": self.se.get_dof_pos().round(3).tolist(),
+                    "rpy": self.se.get_rpy().round(3).tolist(),
+                })
 
             rpy = self.se.get_rpy()
             if abs(rpy[0]) > 1.6 or abs(rpy[1]) > 1.6:     # :160-162

@@ -862,6 +862,18 @@ class ParkourEnv:
         dist_pre_reset = jnp.linalg.norm(
             env.phys.base_pos[:, :2] - env.env_origin[:, :2], axis=1)
 
+        # per-track-TYPE promotion telemetry: crossings (>80% of the track
+        # at done — the promotion rule, go2_parkour.py:1158-1186) and dones
+        # per terrain type column, so the monitor can attribute which track
+        # kind blocks promotion (one-hot matmul; num_cols is ~20)
+        n_types = self.terrain_origins.shape[1]
+        onehot_t = jax.nn.one_hot(env.terrain_type, n_types,
+                                  dtype=jnp.float32)
+        hard_f = hard_done.astype(jnp.float32)
+        crossings_by_type = onehot_t.T @ (
+            hard_f * (dist_pre_reset > 0.8 * self.track_length))
+        dones_by_type = onehot_t.T @ hard_f
+
         # ---- masked reset (reset_idx :1035-1124) ----
         env = self._reset_envs(env, hard_done)
 
@@ -922,6 +934,8 @@ class ParkourEnv:
             "num_resets": n_reset,
             "dist_at_done": dist_pre_reset,
             "soft_p": soft_p,
+            "crossings_by_type": crossings_by_type,
+            "dones_by_type": dones_by_type,
         }
         if true_next_obs is not None:
             info["true_next_obs"] = true_next_obs

@@ -238,7 +238,9 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
                      info["true_dones"].astype(jnp.float32), obs_rms)
             metrics = (info["terrain_level_mean"],
                        info["episode_sums_at_reset"], info["num_resets"],
-                       info["episode_len_at_reset"])
+                       info["episode_len_at_reset"],
+                       info.get("crossings_by_type"),
+                       info.get("dones_by_type"))
             return carry, (tr, metrics)
 
         key, k_roll = jax.random.split(ts.key)
@@ -347,7 +349,7 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
             epoch_step, (ts.params, ts.opt_state), k_eps)
         loss, pg_loss, v_loss = jax.tree.map(jnp.mean, aux)
 
-        terrain_lvl, ep_sums, n_resets, ep_len = metrics
+        terrain_lvl, ep_sums, n_resets, ep_len, cross_t, dones_t = metrics
         def _psum(x):
             return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
@@ -367,6 +369,12 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
             "num_episodes": _psum(jnp.sum(n_resets)),
             "lr": lr,
         }
+        if cross_t is not None:
+            # per-track-type promotion stats (crossings / dones per terrain
+            # type column, summed over the rollout) — the monitor maps
+            # columns to track kinds for per-kind crossing rates
+            stats["crossings_by_type"] = _psum(jnp.sum(cross_t, axis=0))
+            stats["dones_by_type"] = _psum(jnp.sum(dones_t, axis=0))
         return ts, world, next_obs_norm, stats
 
     return train_iteration

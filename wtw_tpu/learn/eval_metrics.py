@@ -285,3 +285,51 @@ def classify_contacts(c, dt):
         "side_corr": float(side),
         "dominant_gait": max(sig, key=lambda k: float(sig[k])),
     }
+
+
+def obedience_stats(tr, skip=50):
+    """Realized command-obedience estimators from per-step traces.
+
+    tr: dict of (T, N, ...) arrays — base_z/roll/pitch/vx/vy/wz (T, N),
+    foot_z (T, N, 4) world foot heights, foot_xy (T, N, 4, 2) yaw-frame
+    foot positions relative to base (the raibert frame,
+    corl_rewards.py:161-202), contact (T, N, 4) bool.
+
+    Estimator conventions (validated against scripted-gait ground truth in
+    tests/test_utils.py::TestObedienceEstimators):
+      - stance_width  = 2 * mean over contact samples of |foot y| — equals
+        the raibert target when feet sit at y = ±width/2 (feet FR FL RR RL)
+      - stance_length = mean front-foot x − mean rear-foot x over contact
+        samples — equals the raibert ±length/2 nominal span
+      - foot_apex     = mean over swing segments of the max world foot z
+        (the feet_clearance_cmd_linear target is cmd*phase + 0.02,
+        corl_rewards.py:127-146, so a perfectly obedient apex = cmd + 0.02)
+    """
+    import numpy as np
+
+    c = np.asarray(tr["contact"][skip:]).astype(bool)   # (T, N, 4)
+    fz = np.asarray(tr["foot_z"][skip:])
+    fxy = np.asarray(tr["foot_xy"][skip:])
+    out = {k: float(np.mean(np.asarray(tr[k][skip:])))
+           for k in ("base_z", "roll", "pitch", "vx", "vy", "wz")}
+    # stance width/length: yaw-frame foot xy averaged over CONTACT samples
+    cw = np.where(c, 1.0, np.nan)
+    x_mean = np.nanmean(fxy[..., 0] * cw, axis=(0, 1))
+    y_mean = np.nanmean(np.abs(fxy[..., 1]) * cw, axis=(0, 1))
+    out["stance_width"] = float(2 * np.mean(y_mean))
+    out["stance_length"] = float(np.mean(x_mean[:2]) - np.mean(x_mean[2:]))
+    # footswing apex: mean over swing segments of max foot z
+    apexes = []
+    for n in range(fz.shape[1]):
+        for f in range(4):
+            z, inc = fz[:, n, f], c[:, n, f]
+            seg_max, in_swing = -1.0, False
+            for t in range(len(z)):
+                if not inc[t]:
+                    seg_max = z[t] if not in_swing else max(seg_max, z[t])
+                    in_swing = True
+                elif in_swing:
+                    apexes.append(seg_max)
+                    in_swing = False
+    out["foot_apex"] = float(np.mean(apexes)) if apexes else 0.0
+    return out
