@@ -14,4 +14,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# WTW_TEST_TPU=1 leaves the real backend in place so the TPU-only tests
+# (e.g. the Pallas-vs-XLA parity test, tests/test_physics_batched.py) can
+# run against hardware: the night supervisor captures that run in a
+# driver-visible artifact (results/pallas_tpu_r4.txt).
+if os.environ.get("WTW_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")

@@ -143,3 +143,53 @@ def test_sigma_anneal_schedule():
     # the exp factor tightens; and everything stays finite past the horizon
     assert all(np.isfinite(rewards))
     assert rewards[-1] <= rewards[0] * 1.5  # no blow-up
+
+
+def test_raibert_nominal_is_optimal_at_command():
+    """The raibert heuristic must be MINIMIZED when the feet stand exactly
+    at the commanded stance width/length on their own sides (FR/RR right =
+    negative y). Guards the round-4 sign adjudication: the reference's
+    ys_nom (corl_rewards.py:169-175) commands right feet to +w/2 under its
+    FR-first foot order, whose optimum is a centerline squeeze — measured
+    as stance width pinned at 0.125 m on the 100k policy."""
+    from wtw_tpu.envs.rewards import RewardCtx, raibert_heuristic
+
+    cfg = go1_mob_config(num_envs=1)
+    w_cmd, l_cmd = 0.40, 0.40
+    cmd = np.zeros(15, np.float32)
+    cmd[4] = 3.0                    # freq (avoid div-by-zero)
+    cmd[12], cmd[13] = w_cmd, l_cmd
+
+    def ctx_with_feet(width):
+        # feet on their own sides: FR/RR at -width/2, FL/RL at +width/2
+        y = np.array([-width / 2, width / 2, -width / 2, width / 2])
+        x = np.array([l_cmd / 2, l_cmd / 2, -l_cmd / 2, -l_cmd / 2])
+        feet = jnp.asarray(np.stack([x, y, np.zeros(4)], axis=-1),
+                           jnp.float32)
+        z = jnp.zeros
+        dummy12, dummy4 = z(12), z(4)
+        return RewardCtx(
+            base_pos=z(3), base_quat=jnp.array([0.0, 0, 0, 1.0]),
+            base_lin_vel=z(3), base_ang_vel=z(3), projected_gravity=z(3),
+            commands=jnp.asarray(cmd), joint_q=dummy12, joint_qd=dummy12,
+            last_joint_qd=dummy12, torques=dummy12, actions=dummy12,
+            last_actions=dummy12, last_last_actions=dummy12,
+            joint_pos_target=dummy12, last_joint_pos_target=dummy12,
+            last_last_joint_pos_target=dummy12, default_joint_q=dummy12,
+            soft_pos_limits=jnp.zeros((12, 2)), foot_forces=jnp.zeros((4, 3)),
+            foot_velocities=jnp.zeros((4, 3)),
+            prev_foot_velocities=jnp.zeros((4, 3)),
+            foot_positions=feet,
+            # phases*0 offsets: foot_indices 0.5 -> phases = 0
+            desired_contact_states=dummy4, foot_indices=jnp.full(4, 0.5),
+            contact_filt=z(4, bool), thigh_contact=dummy4,
+            calf_contact=dummy4, feet_air_time=dummy4,
+            first_contact=z(4, bool), dt=jnp.float32(0.02),
+            foot_side=jnp.array([-1.0, 1.0, -1.0, 1.0]))  # FR FL RR RL
+
+    err_at_cmd = float(raibert_heuristic(ctx_with_feet(w_cmd), cfg))
+    err_narrow = float(raibert_heuristic(ctx_with_feet(0.125), cfg))
+    err_wide = float(raibert_heuristic(ctx_with_feet(0.55), cfg))
+    # the commanded width is the optimum; both narrower and wider cost more
+    assert err_at_cmd < 1e-9
+    assert err_narrow > 0.01 and err_wide > 0.001

@@ -82,3 +82,39 @@ def test_mixed_batch_matches_single_robot():
                                np.asarray(s_pure.base_pos[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_mixed.joint_q[0]),
                                np.asarray(s_pure.joint_q[0]), atol=1e-5)
+
+
+def test_multi_env_trains_mixed_batch():
+    """A Go1+Go2 mixed batch steps and TRAINS through the full LeggedEnv +
+    PPO_CSE stack (one policy, per-env models through the vmapped engine).
+    Smoke-level: finite losses, both embodiments present, per-robot reward
+    masks well-formed. The round-4 TPU run (scripts/train_multi.py) is the
+    scale demo; this pins the mechanism on CPU."""
+    from wtw_tpu.config import go1_flat_config
+    from wtw_tpu.envs.multi_env import make_multi_legged_env
+    from wtw_tpu.learn import PPOArgs
+    from wtw_tpu.learn.ppo_cse import init_train_state, make_train_fns
+    from wtw_tpu.models.actor_critic import ACArgs
+
+    cfg = go1_flat_config(num_envs=8)
+    env = make_multi_legged_env(cfg, ("go1", "go2"), seed=0)
+    assert set(env.robot_assignment.tolist()) == {0, 1}
+    # per-robot default joint angles differ by leg ORDER (go1 FR-first,
+    # go2 FL-first): hip signs of env 0 (go1) and env 1 (go2) must flip
+    dq = np.asarray(env.default_joint_q)
+    assert dq.shape == (8, 12)
+    assert dq[0, 0] == -dq[1, 0] != 0.0
+
+    ppo = PPOArgs(num_steps_per_env=4, num_learning_epochs=1,
+                  num_mini_batches=2)
+    ts = init_train_state(jax.random.PRNGKey(1), env, ppo, ACArgs())
+    world = env.init_state(jax.random.PRNGKey(0))
+    world, obs = env.get_observations(world)
+    fn = jax.jit(make_train_fns(env, ppo, ACArgs()))
+    for _ in range(2):
+        ts, world, obs, stats = fn(ts, world, obs)
+    assert bool(jnp.isfinite(stats["loss"]))
+    assert bool(jnp.isfinite(stats["mean_step_reward"]))
+    # physics stayed sane for both embodiments
+    z = np.asarray(world.env.phys.base_pos[:, 2])
+    assert np.all(np.isfinite(z)) and np.all(z > 0.05)

@@ -107,7 +107,8 @@ class LeggedEnv:
                  heightfield: HeightField | None = None,
                  env_origins: np.ndarray | None = None,
                  axis_name: str | None = None,
-                 physics_backend: str = "auto"):
+                 physics_backend: str = "auto",
+                 default_joint_q_override: jnp.ndarray | None = None):
         # axis_name: mesh axis the env batch is sharded over (None = single
         # device). Cross-shard state (curriculum weights, reward-sign test)
         # is psum-synchronized so replicated leaves stay identical.
@@ -120,9 +121,27 @@ class LeggedEnv:
             physics_backend = _os.environ.get(
                 "WTW_PHYSICS_BACKEND",
                 "pallas" if jax.default_backend() == "tpu" else "vmap")
+        # multi-embodiment batch (models/multi.py): a per-env RobotModel
+        # (leading env axis on every array leaf) mixes Go1/Go2/B1 in one
+        # batch — the reference needs one Isaac process per asset. The
+        # per-env engine (vmap backend) maps over the model too.
+        self.multi = getattr(model.mass, "ndim", 1) == 2
+        if self.multi:
+            physics_backend = "vmap"
+            assert cfg.control.control_type == "P", \
+                "multi-embodiment batch uses PD control (per-robot " \
+                "actuator nets would need per-env weight stacking)"
+            assert default_joint_q_override is not None, \
+                "pass per-env default joint angles (robot leg orders " \
+                "differ) — use envs.multi_env.make_multi_legged_env"
         self.physics_backend = physics_backend
         self.cfg = cfg
         self.model = model
+        # static joint count (model.nj reads an array shape, which is the
+        # env axis on a stacked multi-embodiment model)
+        self._nj = len(model.joint_names)
+        # vmap in_axes for per-env model/defaults (None = shared, classic)
+        self._m_ax = 0 if self.multi else None
         self.hf = heightfield if heightfield is not None else flat_heightfield()
         self.num_envs = cfg.env.num_envs
         # eval split: the LAST num_eval_envs envs (base_task.py:43-46)
@@ -144,10 +163,14 @@ class LeggedEnv:
             max_depenetration_velocity=jnp.float32(
                 cfg.sim.max_depenetration_velocity))
 
-        self.default_joint_q = default_joint_angles(
-            model, dict(cfg.init_state.default_joint_angles))
-        self.p_gains = jnp.full((model.nj,), cfg.control.stiffness)
-        self.d_gains = jnp.full((model.nj,), cfg.control.damping)
+        self.default_joint_q = (
+            jnp.asarray(default_joint_q_override)
+            if default_joint_q_override is not None
+            else default_joint_angles(
+                model, dict(cfg.init_state.default_joint_angles)))
+        self._dq_ax = 0 if self.default_joint_q.ndim == 2 else None
+        self.p_gains = jnp.full((self._nj,), cfg.control.stiffness)
+        self.d_gains = jnp.full((self._nj,), cfg.control.damping)
         # soft position limits (legged_robot.py:603-607)
         m = (model.joint_lower + model.joint_upper) / 2
         r = model.joint_upper - model.joint_lower
@@ -155,11 +178,18 @@ class LeggedEnv:
             [m - 0.5 * r * cfg.rewards.soft_dof_pos_limit,
              m + 0.5 * r * cfg.rewards.soft_dof_pos_limit], axis=-1)
         # hip action scaling mask (legged_robot.py:919-920)
-        hip_mask = np.zeros(model.nj, np.float32)
+        hip_mask = np.zeros(self._nj, np.float32)
         hip_mask[[0, 3, 6, 9]] = 1.0
         self.action_scale_vec = jnp.asarray(
             cfg.control.action_scale *
             (hip_mask * cfg.control.hip_scale_reduction + (1 - hip_mask)))
+
+        # per-foot lateral side (+1 left / -1 right) from the hip joint y
+        # offsets — legs are joints (0,3,6,9) in each robot's own leg order
+        # (go1 FR-first, go2 FL-first); consumed by the raibert stance-width
+        # nominal (rewards.raibert_heuristic, round-4 sign adjudication).
+        # Shape (4,) single-robot, (N, 4) for a multi-embodiment batch.
+        self.foot_side = jnp.sign(model.joint_pos[..., (0, 3, 6, 9), 1])
 
         self.noise_vec = jnp.asarray(observations.noise_scale_vec(cfg))
         self.reward_terms = active_reward_terms(cfg)   # [(name, scale*dt)]
@@ -248,15 +278,15 @@ class LeggedEnv:
     def init_state(self, key: jax.Array) -> WorldState:
         cfg = self.cfg
         N = self.num_envs
-        nj = self.model.nj
+        nj = self._nj
         keys = jax.random.split(key, N + 1)
         env_keys = keys[1:]
 
-        def init_one(k, origin):
+        def init_one(k, origin, dq):
             k, k_dr, k_reset = jax.random.split(k, 3)
             dr = self._sample_rigid_dr(k_dr)
             motor = self._sample_dof_dr(jax.random.fold_in(k_dr, 1))
-            phys = self._reset_phys(k_reset, origin)
+            phys = self._reset_phys(k_reset, origin, default_q=dq)
             zero_j = jnp.zeros(nj)
             return EnvState(
                 phys=phys, rng=k,
@@ -282,7 +312,8 @@ class LeggedEnv:
                 env_origin=origin, timed_out=jnp.bool_(False),
             )
 
-        env = jax.vmap(init_one)(env_keys, self.env_origins)
+        env = jax.vmap(init_one, in_axes=(0, 0, self._dq_ax))(
+            env_keys, self.env_origins, self.default_joint_q)
         world = WorldState(
             env=env,
             curriculum=curr.init_state(cfg.commands, self.grid),
@@ -319,7 +350,7 @@ class LeggedEnv:
         Kp/Kd factors are per-env scalars broadcast over joints (reference
         draws one value per env); motor offset is per-joint."""
         dr = self.cfg.domain_rand
-        nj = self.model.nj
+        nj = self._nj
         k1, k2, k3, k4 = jax.random.split(k, 4)
         ms = jnp.where(dr.randomize_motor_strength,
                        jax.random.uniform(k1, (), minval=dr.motor_strength_range[0],
@@ -339,12 +370,16 @@ class LeggedEnv:
                     Kp_factor=jnp.full((nj,), 1.0) * kp,
                     Kd_factor=jnp.full((nj,), 1.0) * kd)
 
-    def _reset_phys(self, k, origin) -> PhysicsState:
-        """_reset_dofs + _reset_root_states (legged_robot.py:948-1001)."""
+    def _reset_phys(self, k, origin, default_q=None) -> PhysicsState:
+        """_reset_dofs + _reset_root_states (legged_robot.py:948-1001).
+        default_q: per-env default joint angles when called under vmap in a
+        multi-embodiment batch (falls back to the shared vector)."""
         cfg = self.cfg
-        nj = self.model.nj
+        nj = self._nj
+        if default_q is None:
+            default_q = self.default_joint_q
         k1, k2, k3, k4, k5 = jax.random.split(k, 5)
-        joint_q = self.default_joint_q * jax.random.uniform(
+        joint_q = default_q * jax.random.uniform(
             k1, (nj,), minval=0.5, maxval=1.5)
         xy = jax.random.uniform(
             k2, (2,),
@@ -414,24 +449,30 @@ class LeggedEnv:
     # torque model (legged_robot.py:907-946)
     # ------------------------------------------------------------------
     def _compute_torques(self, s: EnvState, actions_scaled: jnp.ndarray,
-                         batched: bool = False):
+                         batched: bool = False, default_q=None,
+                         effort_limit=None):
         """One decimation substep's torques; returns (torques, updated lag
         buffer, joint_pos_target, actuator history updates). All math
         broadcasts over an optional leading env axis (batched=True shifts
-        the lag-buffer axis)."""
+        the lag-buffer axis). default_q/effort_limit: per-env overrides for
+        multi-embodiment batches (callers under vmap thread them)."""
         cfg = self.cfg
+        if default_q is None:
+            default_q = self.default_joint_q
+        if effort_limit is None:
+            effort_limit = self.model.effort_limit
         if cfg.domain_rand.randomize_lag_timesteps:
             if batched:
                 lag = jnp.concatenate(
                     [s.lag_buffer[:, 1:], actions_scaled[:, None]], axis=1)
-                target = lag[:, 0] + self.default_joint_q
+                target = lag[:, 0] + default_q
             else:
                 lag = jnp.concatenate(
                     [s.lag_buffer[1:], actions_scaled[None]], axis=0)
-                target = lag[0] + self.default_joint_q
+                target = lag[0] + default_q
         else:
             lag = s.lag_buffer
-            target = actions_scaled + self.default_joint_q
+            target = actions_scaled + default_q
 
         q, qd = s.phys.joint_q, s.phys.joint_qd
         if cfg.control.control_type == "actuator_net":
@@ -450,7 +491,7 @@ class LeggedEnv:
                    - self.d_gains * s.Kd_factor * qd)
             hist = {}
         tau = tau * s.motor_strength
-        tau = jnp.clip(tau, -self.model.effort_limit, self.model.effort_limit)
+        tau = jnp.clip(tau, -effort_limit, effort_limit)
         return tau, lag, target, hist
 
     # ------------------------------------------------------------------
@@ -510,7 +551,8 @@ class LeggedEnv:
                     length=cfg.control.decimation)
                 cinfo = jax.tree.map(lambda x: x[-1], cinfos)
         else:
-            def env_step(s: EnvState, action: jnp.ndarray):
+            def env_step(s: EnvState, action: jnp.ndarray, m: RobotModel,
+                         dq: jnp.ndarray):
                 k_next = jax.random.fold_in(s.rng, 3)
                 prev_foot_vel = s.prev_foot_velocities
 
@@ -519,9 +561,10 @@ class LeggedEnv:
                 def substep(carry, _):
                     s_in = carry
                     tau, lag, target, hist = self._compute_torques(
-                        s_in, actions_scaled)
+                        s_in, actions_scaled, default_q=dq,
+                        effort_limit=m.effort_limit)
                     phys, cinfo = physics_step(
-                        model, self.hf, self.engine_params, s_in.phys, tau,
+                        m, self.hf, self.engine_params, s_in.phys, tau,
                         s_in.friction, s_in.restitution,
                         payload_mass=s_in.payload,
                         com_offset=s_in.com_displacement,
@@ -536,8 +579,12 @@ class LeggedEnv:
                 cinfo = jax.tree.map(lambda x: x[-1], cinfos)
                 return s2, cinfo, prev_foot_vel, k_next
 
-            env, cinfo, prev_foot_vel, k_next = jax.vmap(env_step)(
-                world.env, actions)
+            # multi-embodiment: the per-env model/defaults map with the env
+            # axis (in_axes 0); classic single-robot batches pass them
+            # unmapped (in_axes None) — identical lowering to the closure
+            env, cinfo, prev_foot_vel, k_next = jax.vmap(
+                env_step, in_axes=(0, 0, self._m_ax, self._dq_ax))(
+                world.env, actions, model, self.default_joint_q)
         env = env.replace(rng=k_next,
                           episode_length=env.episode_length + 1)
         common_step = world.common_step + 1
@@ -669,7 +716,9 @@ class LeggedEnv:
             foot_indices=env.foot_indices, contact_filt=contact_filt,
             thigh_contact=cinfo.thigh_contact, calf_contact=cinfo.calf_contact,
             feet_air_time=air_time, first_contact=first_contact,
-            dt=jnp.broadcast_to(jnp.float32(self.dt), phys.base_pos.shape[:-1]))
+            dt=jnp.broadcast_to(jnp.float32(self.dt), phys.base_pos.shape[:-1]),
+            foot_side=jnp.broadcast_to(self.foot_side,
+                                       phys.base_pos.shape[:-1] + (4,)))
 
         def one_env_rewards(c):
             vals = [REWARD_FNS[name](c, cfg) for name, _ in self.reward_terms]
@@ -788,7 +837,9 @@ class LeggedEnv:
         env = world.env
 
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 11))(env.rng)
-        new_phys = jax.vmap(self._reset_phys)(keys, env.env_origin)
+        new_phys = jax.vmap(self._reset_phys,
+                            in_axes=(0, 0, self._dq_ax))(
+            keys, env.env_origin, self.default_joint_q)
         kdr = jax.vmap(lambda k: jax.random.fold_in(k, 13))(env.rng)
         new_dof = jax.vmap(self._sample_dof_dr)(kdr)
 
@@ -855,11 +906,11 @@ class LeggedEnv:
             phys.base_quat,
             jnp.broadcast_to(g_unit, phys.base_quat.shape[:-1] + (3,)))
 
-        def build_one(s, blv1, bav1, pg1):
+        def build_one(s, blv1, bav1, pg1, dq):
             o = observations.build_obs(
                 cfg, projected_gravity=pg1, commands=s.commands,
                 joint_q=s.phys.joint_q, joint_qd=s.phys.joint_qd,
-                default_joint_q=self.default_joint_q, actions=s.actions,
+                default_joint_q=dq, actions=s.actions,
                 last_actions=s.last_actions, clock_inputs=s.clock_inputs,
                 gait_index=s.gait_index, base_lin_vel=blv1, base_ang_vel=bav1,
                 base_quat=s.phys.base_quat, contact_states=jnp.zeros(4))
@@ -876,7 +927,9 @@ class LeggedEnv:
                 desired_contact_states=s.desired_contact_states)
             return o, p
 
-        obs, priv_obs = jax.vmap(build_one)(env, blv, bav, pg)
+        obs, priv_obs = jax.vmap(build_one,
+                                 in_axes=(0, 0, 0, 0, self._dq_ax))(
+            env, blv, bav, pg, self.default_joint_q)
         clip_obs = cfg.normalization.clip_observations
         return (jnp.clip(obs, -clip_obs, clip_obs),
                 jnp.clip(priv_obs, -clip_obs, clip_obs))

@@ -55,6 +55,11 @@ class RewardCtx:
     feet_air_time: jnp.ndarray      # (4,) accumulated air time (s)
     first_contact: jnp.ndarray      # (4,) bool touchdown events
     dt: jnp.ndarray
+    # per-foot lateral side (+1 left / -1 right), derived from the robot
+    # model's hip y offsets — robots list legs in different orders (go1
+    # FR-first, go2 FL-first), so the raibert stance-width nominal must
+    # follow the model, not a hardcoded pattern
+    foot_side: jnp.ndarray          # (4,)
 
 
 def _cmd(ctx, i, default=0.0):
@@ -213,7 +218,22 @@ def raibert_heuristic(ctx, cfg):
     n = ctx.commands.shape[0]
     w = ctx.commands[12] if n >= 13 else jnp.float32(0.3)
     l = ctx.commands[13] if n >= 14 else jnp.float32(0.45)
-    ys_nom = jnp.stack([w / 2, -w / 2, w / 2, -w / 2])
+    # ADJUDICATED SIGN FIX (round 4): the reference writes ys_nom =
+    # [+w/2, -w/2, +w/2, -w/2] over its OWN FR-first foot order
+    # (corl_rewards.py:169-175; URDF link order FR, FL, RR, RL — FR's hip
+    # sits at y = -0.047), i.e. it commands the RIGHT feet to the LEFT
+    # side. Under a squared error the optimum of that cross-legged target
+    # is feet squeezed to the centerline — measured on our 100k policy as
+    # realized stance width pinned at ~0.125 m regardless of the commanded
+    # 0.15/0.25/0.40, while stance LENGTH (whose xs_nom signs are
+    # consistent) obeys. ys_nom follows each foot's OWN side (ctx.foot_side,
+    # derived from the model's hip y offsets) so the commanded width is the
+    # optimum — the documented intent of the 15-dim command space
+    # (paper/README stance-width RC mode;
+    # tests/test_env.py::test_raibert_nominal_is_optimal_at_command).
+    ys_nom = ctx.foot_side * (w / 2)
+    # front/rear from the same model-derived convention (legs are listed
+    # front-first by every supported robot; kept explicit for clarity)
     xs_nom = jnp.stack([l / 2, l / 2, -l / 2, -l / 2])
 
     phases = jnp.abs(1.0 - ctx.foot_indices * 2.0) * 1.0 - 0.5
