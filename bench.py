@@ -24,8 +24,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-envs", type=int, default=4096,
                     help="per-device env count")
-    ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--warmup", type=int, default=2)
+    # enough iterations that one straggler dispatch doesn't skew the
+    # sustained-rate estimate (the r3 driver capture read 79.1 ms where
+    # three same-code sessions measured 76.2-76.4)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--mode", choices=["train", "env", "scaling"],
                     default="train")
     ap.add_argument("--dtype", default="bfloat16",
@@ -85,12 +88,6 @@ def main():
     if args_cli.mode == "train":
         fn = jax.jit(make_train_fns(env, ppo_args, ac_args),
                      donate_argnums=(0,))
-        # abstract arg shapes for the MFU cost analysis (the live buffers
-        # are donated by the timed loop, so lower() from shapes instead)
-        fn_for_cost = fn
-        cost_args = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-            (ts, world, obs_dict))
 
         def run_once(state):
             ts, world, obs_dict = state
@@ -99,7 +96,6 @@ def main():
 
         state = (ts, world, obs_dict)
     else:
-        fn_for_cost, cost_args = None, None
         def body(world, _):
             world, _, rew, _, _ = env.step(
                 world, jnp.zeros((env.num_envs, env.num_actions)))
@@ -135,7 +131,8 @@ def main():
         "unit": "env-steps/s/chip",
         "vs_baseline": round(env_steps_per_s / baseline_per_chip, 4),
     }
-    mfu = _mfu(fn_for_cost, cost_args, dt, jax.devices()[0].device_kind)
+    mfu = (_mfu(ts.params, ppo_args, env, dt, jax.devices()[0].device_kind)
+           if args_cli.mode == "train" else None)
     if mfu is not None:
         result["mfu"] = mfu["mfu"]
         result["achieved_tflops"] = mfu["achieved_tflops"]
@@ -144,9 +141,10 @@ def main():
           f"| device {jax.devices()[0].device_kind}", file=sys.stderr)
     if mfu is not None:
         print(f"# MFU {100*mfu['mfu']:.1f}% — {mfu['achieved_tflops']:.1f} "
-              f"achieved TFLOP/s vs {mfu['peak_tflops']:.0f} peak "
-              f"({mfu['flops_per_iter']/1e12:.2f} TFLOP/iter, XLA "
-              f"cost-analysis count)", file=sys.stderr)
+              f"achieved TFLOP/s vs {mfu['peak_tflops']:.0f} bf16 peak "
+              f"({mfu['flops_per_iter']/1e12:.2f} TFLOP/iter, analytic "
+              f"network-GEMM count: rollout policy forwards + PPO update "
+              f"fwd/bwd; physics excluded)", file=sys.stderr)
 
 
 # Peak dense-matmul throughput per chip, bf16 (the compute dtype of every
@@ -159,23 +157,42 @@ _PEAK_BF16_TFLOPS = {
 }
 
 
-def _mfu(fn, fn_args, dt_s, device_kind):
-    """Model-FLOPs-utilization of one train iteration: XLA's own static
-    FLOP count for the compiled executable / wall time / chip peak.
-    Returns None when the backend can't report cost analysis (e.g. CPU)."""
+def _mfu(params, ppo_args, env, dt_s, device_kind):
+    """Model-FLOPs-utilization of one train iteration against the chip's
+    bf16 matmul peak. The FLOP count is ANALYTIC over the network GEMMs
+    (XLA's cost_analysis counts each lax.scan body once, understating the
+    24-step rollout and 5x4-minibatch update ~20x): per sample, a forward
+    pass costs 2*prod(W.shape) per layer; the update's backward adds dW
+    (same cost) for every layer and dX for every layer except each tower's
+    input layer (the obs-history input needs no gradient). The fused
+    adaptation substep runs one shared adaptation forward and two
+    adaptation backwards. The physics engine is excluded — this is the
+    standard model-FLOPs convention, and it makes the number a LOWER bound
+    on hardware utilization."""
     peak = _PEAK_BF16_TFLOPS.get(device_kind)
-    if peak is None or fn is None:
+    if peak is None or params is None:
         return None
-    try:
-        cost = fn.lower(*fn_args).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-    except Exception as e:
-        print(f"# MFU unavailable: {e}", file=sys.stderr)
-        return None
-    if flops <= 0:
-        return None
+    import numpy as _np
+
+    def tower(layers):
+        f0 = int(_np.prod(layers[0]["w"].shape))      # input layer MACs
+        fh = sum(int(_np.prod(l["w"].shape)) for l in layers[1:])
+        return f0, fh
+
+    f0a, fha = tower(params["adaptation"])
+    f0p, fhp = tower(params["actor"])
+    f0c, fhc = tower(params["critic"])
+    fwd_all = f0a + fha + f0p + fhp + f0c + fhc       # MACs/sample, fwd
+
+    T = ppo_args.num_steps_per_env
+    N = env.num_envs
+    samples_update = T * N * ppo_args.num_learning_epochs
+    # per update sample: fwd + dW on everything, dX on non-input layers,
+    # plus the adaptation substep's second backward (dW + dX, shared fwd)
+    per_sample_update = (2 * fwd_all + (fha + fhp + fhc)
+                         + (f0a + 2 * fha))
+    flops = 2.0 * (T * N * fwd_all                     # rollout forwards
+                   + samples_update * per_sample_update)
     achieved = flops / dt_s / 1e12
     return {"mfu": round(achieved / peak, 4),
             "achieved_tflops": round(achieved, 2),

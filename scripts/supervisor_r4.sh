@@ -44,30 +44,28 @@ fi
 # ---- Stage 1: MoB obedience fine-tune ----------------------------------
 if [ ! -f "$MOB/STOP" ] && [ ! -f "$MOB/ft_done" ] && ! past_deadline; then
     if [ ! -f "$MOB/chunkA_done" ]; then
-        stamp "MoB ft chunk A (boosted obedience scales, 12k iters)"
+        stamp "MoB ft chunk A (boosted obedience scales, 8k iters)"
         python scripts/train.py --preset go1_mob --num-envs 4096 \
-            --run-dir "$MOB" --iterations 6000 \
+            --run-dir "$MOB" --iterations 4000 \
             --resume checkpoints/go1_mob_r2b_100k.pkl.gz \
             $SIGMA_FLAGS $OBED_FLAGS \
             --save-interval 3000 --log-freq 50 >> "$MOB/train.log" 2>&1
         stamp "chunk A1 rc=$?"
         NEWEST=$(ls -t "$MOB"/checkpoints/state_*.pkl 2>/dev/null | head -1)
         [ -n "$NEWEST" ] && python scripts/train.py --preset go1_mob \
-            --num-envs 4096 --run-dir "$MOB" --iterations 6000 \
+            --num-envs 4096 --run-dir "$MOB" --iterations 4000 \
             --resume "$NEWEST" $SIGMA_FLAGS $OBED_FLAGS \
             --save-interval 3000 --log-freq 50 >> "$MOB/train.log" 2>&1
         stamp "chunk A2 rc=$?" && touch "$MOB/chunkA_done"
     fi
     if [ -f "$MOB/chunkA_done" ] && [ ! -f "$MOB/ft_done" ] && ! past_deadline; then
-        stamp "MoB ft chunk B (reference-exact scales, 8k iters)"
-        for i in 1 2; do
-            NEWEST=$(ls -t "$MOB"/checkpoints/state_*.pkl | head -1)
-            python scripts/train.py --preset go1_mob --num-envs 4096 \
-                --run-dir "$MOB" --iterations 4000 --resume "$NEWEST" \
-                $SIGMA_FLAGS --save-interval 2000 --log-freq 50 \
-                >> "$MOB/train.log" 2>&1
-            stamp "chunk B$i rc=$?"
-        done
+        stamp "MoB ft chunk B (reference-exact scales, 4k iters)"
+        NEWEST=$(ls -t "$MOB"/checkpoints/state_*.pkl | head -1)
+        python scripts/train.py --preset go1_mob --num-envs 4096 \
+            --run-dir "$MOB" --iterations 4000 --resume "$NEWEST" \
+            $SIGMA_FLAGS --save-interval 2000 --log-freq 50 \
+            >> "$MOB/train.log" 2>&1
+        stamp "chunk B rc=$?"
         touch "$MOB/ft_done"
     fi
 fi
@@ -111,7 +109,7 @@ if [ ! -f "$PK/SKIP" ] && [ ! -f "$PK/STOP" ] && [ ! -f "$PK/done" ] && ! past_d
             --save-interval 1000 --log-freq 50 >> "$PK/train.log" 2>&1
         stamp "chunk 1 rc=$?"
     fi
-    for i in 2 3 4; do
+    for i in 2 3; do
         past_deadline && break
         [ -f "$PK/STOP" ] && break
         NEWEST=$(ls -t "$PK"/state_*.pkl 2>/dev/null | head -1)
@@ -152,7 +150,7 @@ if [ -n "${PKCK:-}" ] && [ ! -f "$VZ/SKIP" ] && ! past_deadline; then
     if [ -s "$VZ/rb_demos.pkl" ] && [ ! -s "$VZ/vision_student.pkl" ] && ! past_deadline; then
         stamp "vision train (1024 envs, 1.05M env steps)"
         python scripts/train_vision.py train --demos "$VZ/rb_demos.pkl" \
-            --checkpoint "$PKCK" --num-envs 1024 --env-steps 1048576 \
+            --checkpoint "$PKCK" --num-envs 1024 --env-steps 524288 \
             --terrain mixed \
             --set only_forwards=true --set only_forwards_velocity=0.8 \
             --out "$VZ" > "$VZ/train.log" 2>&1
@@ -178,7 +176,7 @@ if [ -n "${ABCK:-}" ] && [ ! -s runs/ab_exact/metrics.csv ] && ! past_deadline; 
         tag=$([ "$mode" = true ] && echo fused || echo exact)
         stamp "A/B substep: $tag"
         python scripts/train.py --preset go1_mob --num-envs 4096 \
-            --run-dir "runs/ab_$tag" --iterations 600 --resume "$ABCK" \
+            --run-dir "runs/ab_$tag" --iterations 400 --resume "$ABCK" \
             $SIGMA_FLAGS --set ppo.fused_adaptation_substep=$mode \
             --log-freq 20 --save-interval 0 > "/tmp/ab_$tag.log" 2>&1
         stamp "$tag rc=$?"
