@@ -44,26 +44,20 @@ fi
 # ---- Stage 1: MoB obedience fine-tune ----------------------------------
 if [ ! -f "$MOB/STOP" ] && [ ! -f "$MOB/ft_done" ] && ! past_deadline; then
     if [ ! -f "$MOB/chunkA_done" ]; then
-        stamp "MoB ft chunk A (boosted obedience scales, 8k iters)"
+        stamp "MoB ft chunk A (boosted obedience scales, 4k iters)"
         python scripts/train.py --preset go1_mob --num-envs 4096 \
             --run-dir "$MOB" --iterations 4000 \
             --resume checkpoints/go1_mob_r2b_100k.pkl.gz \
             $SIGMA_FLAGS $OBED_FLAGS \
             --save-interval 3000 --log-freq 50 >> "$MOB/train.log" 2>&1
-        stamp "chunk A1 rc=$?"
-        NEWEST=$(ls -t "$MOB"/checkpoints/state_*.pkl 2>/dev/null | head -1)
-        [ -n "$NEWEST" ] && python scripts/train.py --preset go1_mob \
-            --num-envs 4096 --run-dir "$MOB" --iterations 4000 \
-            --resume "$NEWEST" $SIGMA_FLAGS $OBED_FLAGS \
-            --save-interval 3000 --log-freq 50 >> "$MOB/train.log" 2>&1
-        stamp "chunk A2 rc=$?" && touch "$MOB/chunkA_done"
+        stamp "chunk A rc=$?" && touch "$MOB/chunkA_done"
     fi
     if [ -f "$MOB/chunkA_done" ] && [ ! -f "$MOB/ft_done" ] && ! past_deadline; then
-        stamp "MoB ft chunk B (reference-exact scales, 4k iters)"
+        stamp "MoB ft chunk B (reference-exact scales, 2k iters)"
         NEWEST=$(ls -t "$MOB"/checkpoints/state_*.pkl | head -1)
         python scripts/train.py --preset go1_mob --num-envs 4096 \
-            --run-dir "$MOB" --iterations 4000 --resume "$NEWEST" \
-            $SIGMA_FLAGS --save-interval 2000 --log-freq 50 \
+            --run-dir "$MOB" --iterations 2000 --resume "$NEWEST" \
+            $SIGMA_FLAGS --save-interval 1500 --log-freq 50 \
             >> "$MOB/train.log" 2>&1
         stamp "chunk B rc=$?"
         touch "$MOB/ft_done"
@@ -96,10 +90,58 @@ if [ -n "${CK:-}" ] && [ -f "$MOB/ft_done" ] && [ ! -f "$MOB/evals_done" ]; then
     stamp "MoB evals done"
 fi
 
-# ---- Stage 3: full-difficulty parkour (8k iters, NO easy_mode) ----------
+# ---- Stage 3: vision distillation at 1024 envs (BC warm start) ----------
+# Runs BEFORE parkour: the r2b expert already traverses its promoted
+# terrain; the student deliverable (VERDICT #2) must not be lost to the
+# deadline if parkour training runs long.
+PKCK=$(ls -t "$PK"/state_*.pkl 2>/dev/null | head -1)
+[ -z "${PKCK:-}" ] && PKCK=checkpoints/parkour_promo_r2b_7k5.pkl.gz
+if [ ! -f "$VZ/SKIP" ] && ! past_deadline; then
+    mkdir -p "$VZ"
+    if [ ! -s "$VZ/rb_demos.pkl" ]; then
+        stamp "vision generate (expert: $PKCK)"
+        python scripts/train_vision.py generate \
+            --checkpoint "$PKCK" --num-envs 1024 --steps 512 \
+            --terrain mixed \
+            --set only_forwards=true --set only_forwards_velocity=0.8 \
+            --out "$VZ" > "$VZ/generate.log" 2>&1
+        stamp "generate rc=$?"
+    fi
+    if [ -s "$VZ/rb_demos.pkl" ] && [ ! -s "$VZ/vision_student.pkl" ] && ! past_deadline; then
+        stamp "vision train (1024 envs, BC warm start + 524k DDPG steps)"
+        python scripts/train_vision.py train --demos "$VZ/rb_demos.pkl" \
+            --num-envs 1024 --env-steps 524288 \
+            --bc-steps 6000 \
+            --terrain mixed \
+            --set only_forwards=true --set only_forwards_velocity=0.8 \
+            --out "$VZ" > "$VZ/train.log" 2>&1
+        stamp "train rc=$?"
+    fi
+    if [ -s "$VZ/vision_student.pkl" ] && [ ! -s "$VZ/eval.json" ]; then
+        stamp "vision eval (student)"
+        python scripts/train_vision.py eval \
+            --student "$VZ/vision_student.pkl" \
+            --num-envs 1024 --steps 512 --terrain mixed \
+            --set only_forwards=true --set only_forwards_velocity=0.8 \
+            --out "$VZ" > "$VZ/eval.json" 2>"$VZ/eval.log"
+        stamp "eval rc=$?"
+        stamp "vision eval (expert, same conditions)"
+        python scripts/train_vision.py eval \
+            --checkpoint "$PKCK" \
+            --num-envs 1024 --steps 512 --terrain mixed \
+            --set only_forwards=true --set only_forwards_velocity=0.8 \
+            --out "$VZ" > "$VZ/eval_expert.json" 2>>"$VZ/eval.log"
+        stamp "expert eval rc=$?"
+        mkdir -p results/vision_r4
+        cp "$VZ"/eval*.json "$VZ/vision_student.pkl" results/vision_r4/ 2>/dev/null
+    fi
+fi
+
+# ---- Stage 4: full-difficulty parkour (NO easy_mode) --------------------
 if [ ! -f "$PK/SKIP" ] && [ ! -f "$PK/STOP" ] && [ ! -f "$PK/done" ] && ! past_deadline; then
     mkdir -p "$PK"
-    if [ ! -s "$PK/state_last.pkl" ]; then
+    if [ ! -s "$PK/state_last.pkl" ] && \
+       [ -z "$(ls "$PK"/state_*.pkl 2>/dev/null)" ]; then
         stamp "parkour full-difficulty chunk 1 (resume r2b slim)"
         python scripts/train_parkour.py --run-dir "$PK" --iterations 2000 \
             --num-envs 2048 --terrain mixed \
@@ -134,41 +176,6 @@ if [ ! -f "$PK/SKIP" ] && [ ! -f "$PK/STOP" ] && [ ! -f "$PK/done" ] && ! past_d
     stamp "parkour done"
 fi
 
-# ---- Stage 4: vision distillation at 1024 envs, 8x budget ---------------
-PKCK=$(ls -t "$PK"/state_*.pkl 2>/dev/null | head -1)
-if [ -n "${PKCK:-}" ] && [ ! -f "$VZ/SKIP" ] && ! past_deadline; then
-    mkdir -p "$VZ"
-    if [ ! -s "$VZ/rb_demos.pkl" ]; then
-        stamp "vision generate (full-difficulty expert)"
-        timeout 3600 python scripts/train_vision.py generate \
-            --checkpoint "$PKCK" --num-envs 1024 --steps 512 \
-            --terrain mixed \
-            --set only_forwards=true --set only_forwards_velocity=0.8 \
-            --out "$VZ" > "$VZ/generate.log" 2>&1
-        stamp "generate rc=$?"
-    fi
-    if [ -s "$VZ/rb_demos.pkl" ] && [ ! -s "$VZ/vision_student.pkl" ] && ! past_deadline; then
-        stamp "vision train (1024 envs, 1.05M env steps)"
-        python scripts/train_vision.py train --demos "$VZ/rb_demos.pkl" \
-            --checkpoint "$PKCK" --num-envs 1024 --env-steps 524288 \
-            --terrain mixed \
-            --set only_forwards=true --set only_forwards_velocity=0.8 \
-            --out "$VZ" > "$VZ/train.log" 2>&1
-        stamp "train rc=$?"
-    fi
-    if [ -s "$VZ/vision_student.pkl" ] && [ ! -s "$VZ/eval.json" ]; then
-        stamp "vision eval"
-        timeout 3600 python scripts/train_vision.py eval \
-            --student "$VZ/vision_student.pkl" --checkpoint "$PKCK" \
-            --num-envs 1024 --steps 512 --terrain mixed \
-            --set only_forwards=true --set only_forwards_velocity=0.8 \
-            --out "$VZ" > "$VZ/eval.json" 2>"$VZ/eval.log"
-        stamp "eval rc=$?"
-        mkdir -p results/vision_r4
-        cp "$VZ"/eval*.json "$VZ/vision_student.pkl" results/vision_r4/ 2>/dev/null
-    fi
-fi
-
 # ---- Stage 5: A/B fused adaptation substep (same exact-resume start) ----
 ABCK=$(ls -t "$MOB"/checkpoints/state_*.pkl 2>/dev/null | head -1)
 if [ -n "${ABCK:-}" ] && [ ! -s runs/ab_exact/metrics.csv ] && ! past_deadline; then
@@ -183,6 +190,17 @@ if [ -n "${ABCK:-}" ] && [ ! -s runs/ab_exact/metrics.csv ] && ! past_deadline; 
         mkdir -p results/ab_substep_r4
         cp "runs/ab_$tag/metrics.csv" "results/ab_substep_r4/$tag.csv" 2>/dev/null
     done
+fi
+
+# ---- Stage 5b: multi-embodiment mixed-batch training run ----------------
+if [ ! -s results/multi_r4/metrics.csv ] && ! past_deadline; then
+    stamp "multi-embodiment go1+go2+b1 (2048 envs, 1500 iters)"
+    mkdir -p runs/multi_r4 results/multi_r4
+    python scripts/train_multi.py --robots go1,go2,b1 --num-envs 2048 \
+        --iterations 1500 --log-freq 25 --run-dir runs/multi_r4 \
+        > runs/multi_r4/train.log 2>&1
+    stamp "multi rc=$?"
+    cp runs/multi_r4/metrics.csv results/multi_r4/ 2>/dev/null
 fi
 
 # ---- Stage 6: Pallas parity pytest ON TPU (driver-visible artifact) -----

@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--steps", type=int, default=512,
                     help="generate: env steps of demos to record")
     ap.add_argument("--env-steps", type=int, default=100_000)
+    ap.add_argument("--bc-steps", type=int, default=0,
+                    help="behavior-cloning warm-start batches on the demo "
+                         "buffer before the DDPG phase (deviation, see "
+                         "ddpg_demos.bc_update)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/vision")
     ap.add_argument("--terrain", default="mixed",
@@ -129,7 +133,9 @@ def main():
                         info["dist_at_done"], info["episode_len_at_reset"])
         else:
             assert args.checkpoint, "--student or --checkpoint required"
-            with open(args.checkpoint, "rb") as f:
+            opener = (__import__("gzip").open
+                      if args.checkpoint.endswith(".gz") else open)
+            with opener(args.checkpoint, "rb") as f:
                 blob = pickle.load(f)
             ts = jax.tree.map(jnp.asarray, blob["ts"])
 
@@ -179,7 +185,8 @@ def main():
                 jax.tree.map(jnp.asarray, pickle.load(f)))
         ts, rb = D.train_vision_student(
             env, demos, total_env_steps=args.env_steps,
-            key=jax.random.PRNGKey(args.seed), args=ddpg_args)
+            key=jax.random.PRNGKey(args.seed), args=ddpg_args,
+            bc_batches=args.bc_steps)
         os.makedirs(args.out, exist_ok=True)
         out = os.path.join(args.out, "vision_student.pkl")
         with open(out, "wb") as f:

@@ -96,7 +96,7 @@ def test_q_target_uses_cat_scaling():
     args = D.DDPGArgs(critic_nb=2, seq_len=1, batch_size=2)
     # hand-build a deterministic check through the update: with p=1 the
     # target is 0, so Q trained on such data moves toward 0.
-    actor_tx, q_tx, q_update, target_update, actor_update = \
+    actor_tx, q_tx, q_update, target_update, actor_update, bc_update = \
         D.make_update_fns(args)
     ts = D.init_train_state(jax.random.PRNGKey(0), 5, 3, args, actor_tx, q_tx)
     B, L = 4, args.seq_len
@@ -123,6 +123,42 @@ def test_q_target_uses_cat_scaling():
     assert float(jnp.abs(q1).mean()) < max(0.5, float(jnp.abs(q0).mean()))
 
 
+def test_bc_update_regresses_onto_expert_actions():
+    """The BC warm start must drive the recurrent student's actions toward
+    the demo actions (reachable tanh-range targets) under the episode
+    mask."""
+    args = D.DDPGArgs(seq_len=4, batch_size=16, critic_nb=2,
+                      buffer_steps=64, proprio_dim=45)
+    actor_tx, q_tx, _, _, _, bc_update = D.make_update_fns(args)
+    ts = D.init_train_state(jax.random.PRNGKey(0), 50, 6, args,
+                            actor_tx, q_tx)
+    # synthetic expert: a fixed linear map of proprio, squashed into the
+    # actor's reachable range
+    kW, kO = jax.random.split(jax.random.PRNGKey(1))
+    W = jax.random.normal(kW, (45, 6)) * 0.3
+    buf = D.init_buffer(args, num_envs=8, priv_dim=50, act_dim=6)
+    obs_all = jax.random.normal(kO, (64, 8, 45))
+    for t in range(64):
+        o = obs_all[t]
+        buf = D.buffer_add(buf, o, jnp.zeros((8, 50)),
+                           jnp.zeros((8, 48, 48), jnp.uint8),
+                           jnp.tanh(o @ W), jnp.zeros(8), jnp.zeros(8),
+                           jnp.zeros(8), jnp.zeros((8, args.rnn_hidden)))
+
+    step = jax.jit(lambda ts, k: bc_update(
+        ts, D.buffer_sample(buf, k, args.batch_size, args.seq_len)))
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(120):
+        key, k = jax.random.split(key)
+        ts, loss = step(ts, k)
+        losses.append(float(loss))
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert np.isfinite(last)
+    assert last < 0.35 * first, (first, last)
+
+
 @pytest.mark.slow
 def test_vision_student_end_to_end():
     from wtw_tpu.envs.parkour_env import ParkourCfg, ParkourEnv
@@ -139,7 +175,9 @@ def test_vision_student_end_to_end():
     logs = []
     ts, rb = D.train_vision_student(env, demos, total_env_steps=10 * 4,
                                     key=jax.random.PRNGKey(2), args=args,
-                                    log_fn=logs.append, log_freq=2)
+                                    log_fn=logs.append, log_freq=2,
+                                    bc_batches=3)
+    assert any(l.startswith("bc ") for l in logs)
     assert int(rb.filled) == 10
     # params are finite after training
     assert bool(jnp.isfinite(

@@ -55,6 +55,10 @@ class DDPGArgs:
     vision_update_interval: int = 5
     action_low: float = -1.0
     action_high: float = 1.0
+    # hold actor (not Q/target) updates for this many env steps after a BC
+    # warm start, so the fresh Q ensemble fits the warm-started policy
+    # before its gradients steer the actor; ignored when bc_batches == 0
+    actor_delay_env_steps: int = 65536
 
 
 # ----------------------------------------------------------------------
@@ -368,7 +372,36 @@ def make_update_fns(args: DDPGArgs):
         return ts.replace(actor=actor, vision=vision, actor_opt=actor_opt,
                           step=ts.step + 1), loss
 
-    return actor_tx, q_tx, q_update, target_update, actor_update
+    def bc_update(ts: DDPGTrainState, batch):
+        """Behavior-cloning step on expert demo windows: masked MSE of the
+        recurrent student's actions against the expert's recorded actions
+        (clipped to the actor's tanh range — the expert PPO mean is
+        unbounded, the env torque path is what clips downstream).
+
+        NOT in the reference: DDPG_demos_rnn_vision.py trains the actor
+        purely from Q gradients over a ~50x larger env-step budget. Used
+        only as a WARM START before the (unchanged, reference-faithful)
+        DDPG phase to close that budget gap on TPU wall-clock; documented
+        as a deviation in BASELINE.md."""
+        mask = batch["mask"][..., None]
+        target = jnp.clip(batch["actions"], args.action_low,
+                          args.action_high)
+        n_valid = jnp.maximum(mask.sum() * target.shape[-1], 1.0)
+
+        def bc_loss_fn(av):
+            actor, vision = av
+            acts = run_actor_seq(actor, vision, batch["obs"], batch["vobs"],
+                                 batch["hidden_in0"])
+            return (jnp.square(acts - target) * mask).sum() / n_valid
+
+        loss, grads = jax.value_and_grad(bc_loss_fn)((ts.actor, ts.vision))
+        updates, actor_opt = actor_tx.update(grads, ts.actor_opt,
+                                             (ts.actor, ts.vision))
+        actor, vision = optax.apply_updates((ts.actor, ts.vision), updates)
+        return ts.replace(actor=actor, vision=vision,
+                          actor_opt=actor_opt), loss
+
+    return actor_tx, q_tx, q_update, target_update, actor_update, bc_update
 
 
 def generate_demos(expert_policy_fn, env, steps: int, key, args: DDPGArgs,
@@ -413,19 +446,44 @@ def concat_batches(a: dict, b: dict) -> dict:
 
 def train_vision_student(env, expert_buffer: SeqBuffer, total_env_steps: int,
                          key, args: DDPGArgs = DDPGArgs(), log_fn=print,
-                         log_freq: int = 24):
+                         log_freq: int = 24, bc_batches: int = 0):
     """The DDPG_demos_rnn_vision main loop (:393-630): online collection
     with the recurrent vision actor + 8 update substeps per env step
     (Q every substep, targets every policy_frequency, actor on the last).
 
+    bc_batches > 0 runs a behavior-cloning warm start on the expert demo
+    buffer first (see make_update_fns.bc_update — a documented deviation:
+    the reference reaches a traversing student with Q gradients alone by
+    spending ~50x more env steps).
+
     Returns (train_state, online_buffer)."""
     from ..envs.depth import DepthCameraCfg, make_depth_fn
 
-    actor_tx, q_tx, q_update, target_update, actor_update = \
+    actor_tx, q_tx, q_update, target_update, actor_update, bc_update = \
         make_update_fns(args)
     k_ts, k_env, key = jax.random.split(key, 3)
     ts = init_train_state(k_ts, env.num_obs, env.num_actions, args,
                           actor_tx, q_tx)
+
+    if bc_batches:
+        # ONE batch per dispatch: scanning many BC updates into a single
+        # graph produced a pathological server-side compile on the axon
+        # terminal; the single-batch graph is actor_update-sized (known
+        # fine) and ~20 ms of dispatch per batch is noise here
+        @jax.jit
+        def bc_step(ts, key):
+            key, k = jax.random.split(key)
+            batch = buffer_sample(expert_buffer, k, args.batch_size,
+                                  args.seq_len)
+            ts, loss = bc_update(ts, batch)
+            return ts, key, loss
+
+        key, k_bc = jax.random.split(key)
+        for done_b in range(1, bc_batches + 1):
+            ts, k_bc, bc_loss = bc_step(ts, k_bc)
+            if done_b % 500 == 0 or done_b == bc_batches:
+                log_fn(f"bc {done_b:5d}/{bc_batches} | "
+                       f"bc_loss {float(bc_loss):.4f}")
     rb = init_buffer(args, env.num_envs, env.num_obs, env.num_actions)
     render = make_depth_fn(env.hf, DepthCameraCfg(height=args.vis_hw,
                                                   width=args.vis_hw),
@@ -461,7 +519,7 @@ def train_vision_student(env, expert_buffer: SeqBuffer, total_env_steps: int,
             jnp.mean(rew)
 
     @jax.jit
-    def update_round(ts, rb, expert_buffer, key):
+    def update_round(ts, rb, expert_buffer, key, actor_on):
         def substep(carry, i):
             ts, key = carry
             key, k1, k2 = jax.random.split(key, 3)
@@ -474,7 +532,7 @@ def train_vision_student(env, expert_buffer: SeqBuffer, total_env_steps: int,
             ts = jax.lax.cond(i % args.policy_frequency == 0,
                               target_update, lambda t: t, ts)
             ts, a_loss = jax.lax.cond(
-                i == args.updates_per_step - 1,
+                (i == args.updates_per_step - 1) & actor_on,
                 lambda t: actor_update(t, batch),
                 lambda t: (t, jnp.float32(0.0)), ts)
             return (ts, key), (q_loss, a_loss)
@@ -484,12 +542,20 @@ def train_vision_student(env, expert_buffer: SeqBuffer, total_env_steps: int,
         return ts, key, jnp.mean(q_losses), a_losses[-1]
 
     steps = total_env_steps // N
+    # After a BC warm start the actor is already competent while the Q
+    # ensemble is random — hold actor updates (Q/targets keep training)
+    # until the critics have fit the warm-started policy's returns, or the
+    # first deterministic-policy gradients would erase the BC solution.
+    # 0 = the reference behavior (actor updates from the first round).
+    actor_hold = args.actor_delay_env_steps // N if bc_batches else 0
     for step in range(steps):
         ts, world, obs, hidden, vlat, rb, mean_rew = collect(
             ts, world, obs, hidden, vlat, rb, jnp.int32(step), ts.key)
         if (step + 1) * N > args.learning_starts:
             key, k_up = jax.random.split(key)
-            ts, _, q_loss, a_loss = update_round(ts, rb, expert_buffer, k_up)
+            ts, _, q_loss, a_loss = update_round(
+                ts, rb, expert_buffer, k_up,
+                jnp.bool_(step >= actor_hold))
             if step % log_freq == 0:
                 log_fn(f"step {step:5d} | rew {float(mean_rew):.3f} | "
                        f"q_loss {float(q_loss):.4f} | "
