@@ -31,14 +31,16 @@ class ACArgs:
     adaptation_hidden_dims: Tuple[int, ...] = (256, 128)
     activation: str = "elu"
     # Matmul compute dtype. "bfloat16" runs every layer's GEMM with bf16
-    # inputs and fp32 accumulation (preferred_element_type) — parameters,
-    # biases, the optimizer, and each tower's OUTPUT stay fp32, while
-    # HIDDEN activations are kept in bf16 (the cast fuses into the GEMM
-    # epilogue, so the (batch, 512) activation tensors and their ELU
-    # forward/backward ride HBM at half width). On TPU this halves the
-    # traffic of the dominant (batch, 2100)-input GEMMs and doubles the
-    # MXU rate; the reference trains the same math in torch fp32
-    # (actor_critic.py:19-147), so this is opt-in (default fp32).
+    # inputs and fp32 MXU accumulation — parameters, biases (as stored),
+    # the optimizer, and each tower's OUTPUT stay fp32, while HIDDEN
+    # activations are PRODUCED in bf16 by the GEMM epilogue
+    # (preferred_element_type=bf16; bias add + ELU then run in bf16), so
+    # the (batch, 512) pre/post-activation tensors and their ELU
+    # forward/backward ride HBM at half width and no f32 intermediate is
+    # ever materialized. On TPU this halves the traffic of the dominant
+    # (batch, 2100)-input GEMMs and doubles the MXU rate; the reference
+    # trains the same math in torch fp32 (actor_critic.py:19-147), so this
+    # is opt-in (default fp32).
     compute_dtype: str = "float32"
 
 
@@ -62,28 +64,50 @@ def _init_mlp(key, sizes):
     return params
 
 
-def _matmul(x, w, dtype):
+def _matmul(x, w, dtype, out_dtype=None):
+    """GEMM with `dtype` inputs, f32 MXU accumulation, and `out_dtype`
+    results (None = f32). Rounding the HIDDEN-layer outputs straight to
+    bf16 in the GEMM epilogue matters: with a f32 preferred type, XLA
+    materializes the (batch, 512) f32 product to HBM and re-reads it for
+    the bias+ELU+cast fusion AND the ELU' backward — measured 11.7 ms of a
+    76 ms train iteration at 4096 envs (profile r4). Tower OUTPUTS stay
+    f32 in every mode."""
     if dtype == "float32":
         return x.astype(jnp.float32) @ w
     dt = jnp.dtype(dtype)
     return jax.lax.dot_general(
         x.astype(dt), w.astype(dt), (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.dtype(out_dtype or jnp.float32))
 
 
 def _hidden_act(x, activation, dtype):
-    # hidden activations live in the compute dtype (bias add happens in the
-    # f32 GEMM accumulator; the cast fuses into the GEMM epilogue)
+    # hidden activations live in the compute dtype
     if dtype != "float32":
         x = x.astype(jnp.dtype(dtype))
     return _act(activation)(x)
 
 
+def _apply_tail(layers, x, activation, dtype, hid):
+    """Apply layers[1:] to the (already activated) first-layer output."""
+    for i, lyr in enumerate(layers[1:], start=1):
+        last = i == len(layers) - 1
+        o = None if (last or hid is None) else hid
+        b = lyr["b"] if o is None else lyr["b"].astype(o)
+        x = _matmul(x, lyr["w"], dtype, o) + b
+        if not last:
+            x = _act(activation)(x)
+    return x
+
+
 def _apply_mlp(layers, x, activation, dtype="float32"):
+    hid = None if dtype == "float32" else jnp.dtype(dtype)
     for i, lyr in enumerate(layers):
-        x = _matmul(x, lyr["w"], dtype) + lyr["b"]
-        if i < len(layers) - 1:
-            x = _hidden_act(x, activation, dtype)
+        last = i == len(layers) - 1
+        o = None if (last or hid is None) else hid
+        b = lyr["b"] if o is None else lyr["b"].astype(o)
+        x = _matmul(x, lyr["w"], dtype, o) + b
+        if not last:
+            x = _act(activation)(x)
     return x
 
 
@@ -93,20 +117,19 @@ def _apply_mlp_parts(layers, parts, activation, dtype="float32"):
     static row-slices of W — the (batch, 2100+latent) concat buffer never
     materializes in HBM (it would be read-write traffic comparable to the
     GEMM itself at 4096x24 samples)."""
+    hid = (None if dtype == "float32" or len(layers) == 1
+           else jnp.dtype(dtype))
     w0 = layers[0]["w"]
-    off, x = 0, layers[0]["b"]
+    b0 = layers[0]["b"] if hid is None else layers[0]["b"].astype(hid)
+    off, x = 0, b0
     for p in parts:
         d = p.shape[-1]
-        x = x + _matmul(p, w0[off:off + d], dtype)
+        x = x + _matmul(p, w0[off:off + d], dtype, hid)
         off += d
     assert off == w0.shape[0], (off, w0.shape)
     if len(layers) > 1:
-        x = _hidden_act(x, activation, dtype)
-    for i, lyr in enumerate(layers[1:], start=1):
-        x = _matmul(x, lyr["w"], dtype) + lyr["b"]
-        if i < len(layers) - 1:
-            x = _hidden_act(x, activation, dtype)
-    return x
+        x = _act(activation)(x)
+    return _apply_tail(layers, x, activation, dtype, hid)
 
 
 def init_actor_critic(key: jax.Array, num_obs: int, num_privileged_obs: int,
@@ -146,24 +169,21 @@ def actor_critic_heads(params, obs_history, latent, privileged_obs,
     backward. The small latent/privileged first-layer parts stay separate
     (they need their own gradients)."""
     a, c = params["actor"], params["critic"]
+    dtype = args.compute_dtype
+    hid = None if dtype == "float32" else jnp.dtype(dtype)
+    cast = (lambda b: b) if hid is None else (lambda b: b.astype(hid))
     H = obs_history.shape[-1]
     w_cat = jnp.concatenate([a[0]["w"][:H], c[0]["w"][:H]], axis=1)
-    y = _matmul(obs_history, w_cat, args.compute_dtype)
+    y = _matmul(obs_history, w_cat, dtype, hid)
     da = a[0]["w"].shape[1]
-    y_a = y[..., :da] + a[0]["b"] + _matmul(latent, a[0]["w"][H:],
-                                            args.compute_dtype)
-    y_c = y[..., da:] + c[0]["b"] + _matmul(privileged_obs, c[0]["w"][H:],
-                                            args.compute_dtype)
-    za = _hidden_act(y_a, args.activation, args.compute_dtype)
-    for i, lyr in enumerate(a[1:], start=1):
-        za = _matmul(za, lyr["w"], args.compute_dtype) + lyr["b"]
-        if i < len(a) - 1:
-            za = _hidden_act(za, args.activation, args.compute_dtype)
-    zc = _hidden_act(y_c, args.activation, args.compute_dtype)
-    for i, lyr in enumerate(c[1:], start=1):
-        zc = _matmul(zc, lyr["w"], args.compute_dtype) + lyr["b"]
-        if i < len(c) - 1:
-            zc = _hidden_act(zc, args.activation, args.compute_dtype)
+    y_a = y[..., :da] + cast(a[0]["b"]) + _matmul(latent, a[0]["w"][H:],
+                                                  dtype, hid)
+    y_c = y[..., da:] + cast(c[0]["b"]) + _matmul(privileged_obs,
+                                                  c[0]["w"][H:], dtype, hid)
+    za = _apply_tail(a, _act(args.activation)(y_a), args.activation,
+                     dtype, hid)
+    zc = _apply_tail(c, _act(args.activation)(y_c), args.activation,
+                     dtype, hid)
     return za, zc[..., 0]
 
 
