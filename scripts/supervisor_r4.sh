@@ -121,14 +121,14 @@ if [ ! -f "$VZ/SKIP" ] && ! past_deadline; then
         stamp "vision eval (student)"
         python scripts/train_vision.py eval \
             --student "$VZ/vision_student.pkl" \
-            --num-envs 1024 --steps 512 --terrain mixed \
+            --num-envs 1024 --steps 256 --terrain mixed \
             --set only_forwards=true --set only_forwards_velocity=0.8 \
             --out "$VZ" > "$VZ/eval.json" 2>"$VZ/eval.log"
         stamp "eval rc=$?"
         stamp "vision eval (expert, same conditions)"
         python scripts/train_vision.py eval \
             --checkpoint "$PKCK" \
-            --num-envs 1024 --steps 512 --terrain mixed \
+            --num-envs 1024 --steps 256 --terrain mixed \
             --set only_forwards=true --set only_forwards_velocity=0.8 \
             --out "$VZ" > "$VZ/eval_expert.json" 2>>"$VZ/eval.log"
         stamp "expert eval rc=$?"

@@ -469,18 +469,21 @@ def train_vision_student(env, expert_buffer: SeqBuffer, total_env_steps: int,
         # ONE batch per dispatch: scanning many BC updates into a single
         # graph produced a pathological server-side compile on the axon
         # terminal; the single-batch graph is actor_update-sized (known
-        # fine) and ~20 ms of dispatch per batch is noise here
+        # fine) and ~20 ms of dispatch per batch is noise here.
+        # The demo buffer is an ARGUMENT, not a closure capture — a
+        # closed-over device array is baked into the compile request as a
+        # constant (a 1.75 GB demo buffer overflowed the remote compiler's
+        # request limit, HTTP 413).
         @jax.jit
-        def bc_step(ts, key):
+        def bc_step(ts, buf, key):
             key, k = jax.random.split(key)
-            batch = buffer_sample(expert_buffer, k, args.batch_size,
-                                  args.seq_len)
+            batch = buffer_sample(buf, k, args.batch_size, args.seq_len)
             ts, loss = bc_update(ts, batch)
             return ts, key, loss
 
         key, k_bc = jax.random.split(key)
         for done_b in range(1, bc_batches + 1):
-            ts, k_bc, bc_loss = bc_step(ts, k_bc)
+            ts, k_bc, bc_loss = bc_step(ts, expert_buffer, k_bc)
             if done_b % 500 == 0 or done_b == bc_batches:
                 log_fn(f"bc {done_b:5d}/{bc_batches} | "
                        f"bc_loss {float(bc_loss):.4f}")
