@@ -32,6 +32,15 @@ TERRAIN_PRESETS = {
     "flat": (("gap_parkour", 0.0), ("jump_parkour", 0.0),
              ("stairs_parkour", 0.0), ("hurdle_parkour", 0.0),
              ("crawl_parkour", 0.0), ("random_uniform", 0.0), ("flat", 1.0)),
+    "stairs": (("gap_parkour", 0.0), ("jump_parkour", 0.0),
+               ("stairs_parkour", 1.0), ("hurdle_parkour", 0.0),
+               ("crawl_parkour", 0.0), ("random_uniform", 0.0), ("flat", 0.0)),
+    "hurdle": (("gap_parkour", 0.0), ("jump_parkour", 0.0),
+               ("stairs_parkour", 0.0), ("hurdle_parkour", 1.0),
+               ("crawl_parkour", 0.0), ("random_uniform", 0.0), ("flat", 0.0)),
+    "crawl": (("gap_parkour", 0.0), ("jump_parkour", 0.0),
+              ("stairs_parkour", 0.0), ("hurdle_parkour", 0.0),
+              ("crawl_parkour", 1.0), ("random_uniform", 0.0), ("flat", 0.0)),
 }
 
 
@@ -56,6 +65,13 @@ def main():
                     help="newtrain.py algo dispatch analog (:97-118)")
     ap.add_argument("--reward-mode", default=None, choices=["cat", "full"])
     ap.add_argument("--easy-mode", action="store_true")
+    ap.add_argument("--soft-start", action="store_true",
+                    help="soft-start terrain curriculum: trivial level-0 "
+                         "obstacles ramping to FULL reference geometry at "
+                         "the top rows (see ParkourTerrainCfg.soft_start)")
+    ap.add_argument("--std-floor", type=float, default=0.0,
+                    help="exploration std floor for the policy (0 = "
+                         "reference-exact free logstd)")
     ap.add_argument("--run-dir", default=None)
     ap.add_argument("--log-freq", type=int, default=10)
     ap.add_argument("--save-interval", type=int, default=400)
@@ -98,7 +114,7 @@ def main():
                                            or args.iterations),
         terrain=ParkourTerrainCfg(
             proportions=TERRAIN_PRESETS[args.terrain],
-            easy_mode=args.easy_mode), **extra)
+            easy_mode=args.easy_mode, soft_start=args.soft_start), **extra)
     from wtw_tpu.config import apply_overrides
     cfg = apply_overrides(cfg, args.set)
     env = ParkourEnv(cfg, load_robot(cfg.robot), seed=args.seed)
@@ -114,7 +130,8 @@ def main():
     else:
         algo_mod = None
         ppo = CatPPOArgs(num_steps=args.horizon,
-                         num_iterations=anneal_iters)
+                         num_iterations=anneal_iters,
+                         std_floor=args.std_floor)
 
     run_dir = args.run_dir or f"runs/parkour_{args.terrain}/seed{args.seed}"
     os.makedirs(run_dir, exist_ok=True)

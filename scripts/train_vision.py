@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--steps", type=int, default=512,
                     help="generate: env steps of demos to record")
     ap.add_argument("--env-steps", type=int, default=100_000)
+    ap.add_argument("--actor-delay", type=int, default=None,
+                    help="env steps to hold actor updates after a BC warm "
+                         "start (default: DDPGArgs.actor_delay_env_steps, "
+                         "capped at 12.5%% of --env-steps)")
     ap.add_argument("--bc-steps", type=int, default=0,
                     help="behavior-cloning warm-start batches on the demo "
                          "buffer before the DDPG phase (deviation, see "
@@ -72,7 +76,12 @@ def main():
 
     env = build_env(args.num_envs, args.seed, terrain=args.terrain,
                     easy_mode=args.easy_mode, overrides=args.set)
-    ddpg_args = D.DDPGArgs(buffer_steps=max(args.steps, 64))
+    # keep the post-BC actor hold proportionate to the run: the 65536-step
+    # default would consume most of a short DDPG phase
+    delay = (args.actor_delay if args.actor_delay is not None else
+             min(D.DDPGArgs.actor_delay_env_steps, args.env_steps // 8))
+    ddpg_args = D.DDPGArgs(buffer_steps=max(args.steps, 64),
+                           actor_delay_env_steps=delay)
 
     if args.mode == "generate":
         if args.checkpoint:

@@ -25,7 +25,7 @@ def test_cat_probs_scale_with_violation():
     m = CaTManager([("a", 1)], tau=0.0)   # tau=0: running max = batch max
     s = m.init_state()
     c = jnp.array([0.0, 0.5, 1.0, 2.0])
-    s, probs, viol = m.step(s, {"a": c}, {"a": 0.5})
+    s, probs, viol, _ = m.step(s, {"a": c}, {"a": 0.5})
     # no violation -> 0; max violation -> max_p; proportional in between
     assert probs[0] == 0.0
     assert probs[3] == pytest.approx(0.5)
@@ -36,10 +36,10 @@ def test_cat_probs_scale_with_violation():
 def test_cat_running_max_polyak():
     m = CaTManager([("a", 1)], tau=0.95)
     s = m.init_state()
-    s, _, _ = m.step(s, {"a": jnp.array([10.0])}, {"a": 1.0})
+    s, _, _, _ = m.step(s, {"a": jnp.array([10.0])}, {"a": 1.0})
     # rm = 0.95 * 1e-6 + 0.05 * 10
     assert float(s.running_max[0]) == pytest.approx(0.5, rel=1e-3)
-    s, probs, _ = m.step(s, {"a": jnp.array([0.25])}, {"a": 1.0})
+    s, probs, _, _ = m.step(s, {"a": jnp.array([0.25])}, {"a": 1.0})
     # violation 0.25 vs rm≈0.487 -> prob ≈ 0.51 (clamped ratio)
     assert 0.4 < float(probs[0]) < 0.6
 
@@ -49,7 +49,7 @@ def test_cat_max_over_constraints():
     s = m.init_state()
     c_a = jnp.array([1.0, 0.0])
     c_b = jnp.array([[0.0, 0.2], [0.0, 0.0]])
-    s, probs, _ = m.step(s, {"a": c_a, "b": c_b}, {"a": 0.3, "b": 1.0})
+    s, probs, _, _ = m.step(s, {"a": c_a, "b": c_b}, {"a": 0.3, "b": 1.0})
     assert probs[0] == pytest.approx(1.0)   # b col 1: 0.2/0.2 * 1.0
     assert probs[1] == 0.0
 

@@ -82,6 +82,9 @@ class CaTManager:
                           self.min_p + scaled * (maxp_vec - self.min_p)[None, :],
                           0.0)                                 # (N, total)
         env_prob = jnp.max(probs, axis=1)                      # (N,)
+        # per-env column of the binding constraint (diagnostics; offsets
+        # map it back to a constraint name)
+        env_argmax_col = jnp.argmax(probs, axis=1)             # (N,)
 
         # violation fraction per constraint (ConstraintManager.log_all /
         # get_vals :104-121): fraction of envs with any violated column
@@ -93,7 +96,7 @@ class CaTManager:
             if self.axis_name is not None:
                 # global violation fraction (shards hold equal env counts)
                 viol[n] = jax.lax.pmean(viol[n], self.axis_name)
-        return CaTState(running_max=new_rm), env_prob, viol
+        return CaTState(running_max=new_rm), env_prob, viol, env_argmax_col
 
 
 def sqrt_func(x: jnp.ndarray) -> jnp.ndarray:

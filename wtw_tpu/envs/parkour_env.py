@@ -792,8 +792,8 @@ class ParkourEnv:
             return jnp.where(m, 0.0, c)
 
         constraints = {n: _zero_diverged(c) for n, c in constraints.items()}
-        cat_state, cstr_prob, viol = self.cstr.step(world.cat, constraints,
-                                                    max_ps)
+        cat_state, cstr_prob, viol, cstr_argmax = self.cstr.step(
+            world.cat, constraints, max_ps)
 
         # float dones for GAE + hard resets (:1021-1025)
         done_prob = jnp.where(diverged, 1.0, cstr_prob)
@@ -936,6 +936,16 @@ class ParkourEnv:
             "soft_p": soft_p,
             "crossings_by_type": crossings_by_type,
             "dones_by_type": dones_by_type,
+            # per-env diagnostics: why each hard reset fired, the CaT
+            # termination probability, and the binding constraint column
+            # (map back to a name via self.cstr.offsets)
+            "done_reasons": {
+                "timeout": timed_out, "base_contact": base_contact,
+                "knee_contact": knee_contact_any,
+                "lava": cstr_lava > 0, "upsidedown": cstr_upsidedown > 0,
+                "base_height": hard_base_height, "diverged": diverged},
+            "cstr_prob": cstr_prob,
+            "cstr_argmax_col": cstr_argmax,
         }
         if true_next_obs is not None:
             info["true_next_obs"] = true_next_obs

@@ -40,6 +40,7 @@ class CatPPOArgs:
     norm_adv: bool = True
     clip_vloss: bool = True
     anneal_lr: bool = True
+    std_floor: float = 0.0            # 0 = free logstd (reference-exact)
     hidden: tuple = (512, 256, 128)
     # Sharding-invariant mode (mirrors PPOArgs.sharding_invariant): action
     # noise from per-env RNG streams, env-strided minibatches reused across
@@ -333,6 +334,16 @@ def make_train_fn(env, args: CatPPOArgs, axis_name: str | None = None):
                 grads = jax.tree.map(_pmean, grads)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+                if args.std_floor > 0.0:
+                    # exploration floor: project the logstd parameter up
+                    # after each update. Off (0.0) = reference-exact free
+                    # logstd; the parkour discovery runs use 0.3 — the CaT
+                    # death gradient collapses std to ~0.2 within 1.5k
+                    # iterations, long before a first obstacle traversal is
+                    # ever sampled (BASELINE.md round-5 adjudication).
+                    params = dict(params, actor_logstd=jnp.maximum(
+                        params["actor_logstd"],
+                        jnp.log(jnp.float32(args.std_floor))))
                 return (params, opt_state), (loss,) + aux
 
             if args.sharding_invariant:

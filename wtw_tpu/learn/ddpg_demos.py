@@ -487,6 +487,10 @@ def train_vision_student(env, expert_buffer: SeqBuffer, total_env_steps: int,
             if done_b % 500 == 0 or done_b == bc_batches:
                 log_fn(f"bc {done_b:5d}/{bc_batches} | "
                        f"bc_loss {float(bc_loss):.4f}")
+        # fresh actor optimizer for the DDPG phase: Adam moments fitted to
+        # the BC loss (then left stale through the actor-update hold) would
+        # otherwise seed the first deterministic-policy-gradient steps
+        ts = ts.replace(actor_opt=actor_tx.init((ts.actor, ts.vision)))
     rb = init_buffer(args, env.num_envs, env.num_obs, env.num_actions)
     render = make_depth_fn(env.hf, DepthCameraCfg(height=args.vis_hw,
                                                   width=args.vis_hw),

@@ -80,13 +80,6 @@ def _matmul(x, w, dtype, out_dtype=None):
         preferred_element_type=jnp.dtype(out_dtype or jnp.float32))
 
 
-def _hidden_act(x, activation, dtype):
-    # hidden activations live in the compute dtype
-    if dtype != "float32":
-        x = x.astype(jnp.dtype(dtype))
-    return _act(activation)(x)
-
-
 def _apply_tail(layers, x, activation, dtype, hid):
     """Apply layers[1:] to the (already activated) first-layer output."""
     for i, lyr in enumerate(layers[1:], start=1):
@@ -116,7 +109,13 @@ def _apply_mlp_parts(layers, parts, activation, dtype="float32"):
     axis, with the first layer computed as a sum of per-part GEMMs against
     static row-slices of W — the (batch, 2100+latent) concat buffer never
     materializes in HBM (it would be read-write traffic comparable to the
-    GEMM itself at 4096x24 samples)."""
+    GEMM itself at 4096x24 samples).
+
+    Note: in bf16 mode each per-part GEMM epilogue rounds to bf16 before
+    the cross-part add, so the first-layer partial sums accumulate in bf16
+    (a slight precision loss vs one fused f32 accumulation; covered by the
+    0.05-tol parity tests — keep the part-sum in f32 and round once before
+    the activation if bf16 training quality ever drifts)."""
     hid = (None if dtype == "float32" or len(layers) == 1
            else jnp.dtype(dtype))
     w0 = layers[0]["w"]

@@ -228,6 +228,7 @@ class _Static:
         self.k_contact = float(params.contact_stiffness)
         self.c_contact = float(params.contact_damping)
         self.vel_eps = float(params.friction_vel_eps)
+        self.v_maxdep = float(params.max_depenetration_velocity)
         self.armature = float(params.armature)
         self.dofs = list(range(6, self.nv)) if self.fixed_base \
             else list(range(self.nv))
@@ -496,7 +497,14 @@ def dynamics_core(st: _Static, I: Dict) -> Dict:
     inv_n = nn ** -0.5 if _isc(nn) else jax.lax.rsqrt(nn)
     radius = kconst(st.sph_radius, batch_shape)
     n_g = [m(m(-1.0, dhdx), inv_n), m(m(-1.0, dhdy), inv_n), inv_n]
-    depth_g = sb(ad(h, radius), xp[2])
+    # penetration measured ALONG the surface normal, not vertically:
+    # depth_perp = (h - z)*n_z + r. On flat ground (n_z == 1) this is the
+    # plain vertical depth; on the near-vertical faces of parkour obstacles
+    # it caps the elastic force at ~k*r instead of k*(face height) — the
+    # PhysX-like "wall push" instead of a trampoline launch that flips the
+    # robot (adjudicated in BASELINE.md round 5; PhysX measures depth along
+    # the contact normal too)
+    depth_g = ad(m(sb(xp[2], h), m(-1.0, inv_n)), radius)
 
     # sphere-stacked kinematics
     Vw_s = _stack_bodies([V[b][0] for b in range(st.nb)], st.sph_body)
@@ -525,7 +533,13 @@ def dynamics_core(st: _Static, I: Dict) -> Dict:
         Pa = P
 
     active = jnp.where(depth > 0.0, 1.0, 0.0)
-    f_n0 = m(jnp.maximum(m(k_c, depth), 0.0), active)
+    # max_depenetration_velocity (PhysX sim block, config.py:376): the
+    # elastic (position-error) force may push a resting contact apart at no
+    # more than v_maxdep, i.e. f_elastic <= c_n_imp * v_maxdep (the implicit
+    # damper balances the push at that separation speed). Impact damping is
+    # untouched — only deep-penetration catapults are clipped.
+    f_cap = m(c_n_imp, st.v_maxdep)
+    f_n0 = m(jnp.minimum(jnp.maximum(m(k_c, depth), 0.0), f_cap), active)
     vn = v_dot(vel, n)
     v_t = v_sub(vel, v_scale(vn, n))
     c_t_imp = m(m(fric, f_n0),

@@ -161,7 +161,11 @@ def _contact_geometry(model: RobotModel, hf: HeightField,
     Vb = V_body[model.sph_body]                                 # (P,6)
     vel = Vb[:, 3:] + jnp.cross(Vb[:, :3], xp - p_ref)          # (P,3)
     h, n = height_and_normal_at(hf, xp[:, :2])
-    depth = h + model.sph_radius - xp[:, 2]                     # >0 in contact
+    # penetration along the surface normal: (h - z)*n_z + r. Equals the
+    # vertical depth on flat ground; on steep obstacle faces it bounds the
+    # elastic force at ~k*r (PhysX-like wall push — see the matching
+    # comment in batched.py dynamics_core).
+    depth = (h - xp[:, 2]) * n[:, 2] + model.sph_radius         # >0 in contact
     return xp, vel, n, depth
 
 
@@ -265,8 +269,12 @@ def _physics_step_f32(model, hf, params, state, joint_torque, friction,
     # the solve matrix. Unconditionally stable at dt=0.005 even for the
     # light (0.2 kg) foot links where explicit penalties blow up.
     k = params.contact_stiffness
-    f_n0 = jnp.maximum(k * c_depth, 0.0) * active                # (P,)
     c_n_imp = (params.contact_damping * (1.0 - restitution) + params.dt * k)
+    # elastic force capped so depenetration cannot exceed
+    # max_depenetration_velocity (PhysX sim block semantics; the implicit
+    # damper balances the push at f/c_n_imp m/s)
+    f_cap = c_n_imp * params.max_depenetration_velocity
+    f_n0 = jnp.minimum(jnp.maximum(k * c_depth, 0.0), f_cap) * active  # (P,)
     v_t = c_vel - c_n * jnp.einsum("pi,pi->p", c_vel, c_n)[:, None]
     vt_norm = jnp.linalg.norm(v_t, axis=-1)
     c_t_imp = friction * f_n0 / jnp.sqrt(

@@ -157,19 +157,25 @@ def gap_parkour(h: np.ndarray, rng: np.random.Generator, *,
                 gap_length: float = 0.5, platform_length: float = 1.0,
                 gap_platform_length: tuple = (1.25, 1.5),
                 gap_platform_height: float = 0.1,
+                gap_depth: float = None,
                 lava_width: float = 0.5) -> None:
-    """Alternating gaps (down to lava_depth) and slightly sunken platforms
-    (tasks/terrainParkour.py:241-265)."""
+    """Alternating gaps and slightly sunken platforms
+    (tasks/terrainParkour.py:241-265).
+
+    gap_depth: floor level of the gap slots; defaults to lava_depth (the
+    reference's geometry). The soft-start curriculum uses a shallow trench
+    at low difficulty so a misstep is recoverable instead of terminal."""
     L, _ = h.shape
     s = horizontal_scale
     pl = _px(platform_length, s)
     gl = max(1, _px(gap_length, s))
     gph = gap_platform_height
+    gd = lava_depth if gap_depth is None else gap_depth
     start = pl
     while start + gl <= L - pl // 2:
         gpl = int(rng.integers(_px(gap_platform_length[0], s),
                                _px(gap_platform_length[1], s)))
-        h[start:start + gl, :] = lava_depth
+        h[start:start + gl, :] = gd
         if start + gl + gpl <= L - pl // 2:
             h[start + gl:start + gl + gpl, :] = -gph
         start += gl + gpl
