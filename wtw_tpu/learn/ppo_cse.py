@@ -64,9 +64,14 @@ class PPOArgs:
     # optimizer.step()) — a one-optimizer-step-stale gradient on the
     # supervised regression, with the update still applied to the post-step
     # parameters through the same separate Adam. Requires
-    # num_adaptation_module_substeps == 1 (the reference default); the
-    # exact interleaving remains available with False.
-    fused_adaptation_substep: bool = True
+    # num_adaptation_module_substeps == 1 (the reference default).
+    # DEFAULT False (reference-exact interleaving) since the round-5 A/B
+    # (results/ab_substep_r5, 400 iterations from an identical warm start):
+    # tracking reward is identical but the fused one-step-stale gradient
+    # trains the adaptation regression measurably worse (0.67 rising vs
+    # 0.61 falling) and the fused mode's supposed perf win does not
+    # reproduce (108.1 vs 104.2 ms/iter at 4096 envs).
+    fused_adaptation_substep: bool = False
 
 
 @struct.dataclass
