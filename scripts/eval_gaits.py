@@ -54,6 +54,15 @@ def main():
     cfg = blob["cfg"]
     cfg = dataclasses.replace(cfg, env=dataclasses.replace(
         cfg.env, num_envs=args.num_envs, num_eval_envs=0))
+    # eval protocol parity: DR off except actuator lag, like the
+    # reference's play-time evals (scripts/go1/play.py:49-72)
+    cfg = dataclasses.replace(cfg, domain_rand=dataclasses.replace(
+        cfg.domain_rand,
+        randomize_friction=False, randomize_restitution=False,
+        randomize_base_mass=False, randomize_com_displacement=False,
+        randomize_motor_strength=False, randomize_motor_offset=False,
+        randomize_Kp_factor=False, randomize_Kd_factor=False,
+        randomize_gravity=False, randomize_lag_timesteps=True))
     env = make_legged_env(cfg, seed=args.seed)
     params = jax.tree.map(jnp.asarray, blob["ts"].params)
     it = int(getattr(blob["ts"], "iteration", 0))

@@ -75,6 +75,17 @@ def main():
             cfg.env, num_envs=args.num_envs, num_eval_envs=0))
     else:
         cfg = PRESETS[args.preset](num_envs=args.num_envs)
+    # eval protocol parity: the reference's play.py turns OFF every domain
+    # randomization except actuator lag (scripts/go1/play.py:49-72) — r5
+    # fix: evaluating under training DR inflated CoT/vx-RMSE (round-4/5
+    # numbers in BASELINE.md predate this)
+    cfg = dataclasses.replace(cfg, domain_rand=dataclasses.replace(
+        cfg.domain_rand,
+        randomize_friction=False, randomize_restitution=False,
+        randomize_base_mass=False, randomize_com_displacement=False,
+        randomize_motor_strength=False, randomize_motor_offset=False,
+        randomize_Kp_factor=False, randomize_Kd_factor=False,
+        randomize_gravity=False, randomize_lag_timesteps=True))
     if args.sweep:
         cfg = DR_SWEEPS[args.sweep](base_set(cfg))
     env = make_legged_env(cfg, seed=args.seed)

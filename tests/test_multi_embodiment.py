@@ -105,6 +105,13 @@ def test_multi_env_trains_mixed_batch():
     assert dq.shape == (8, 12)
     assert dq[0, 0] == -dq[1, 0] != 0.0
 
+    # per-robot control constants ride the env axis: go2 envs share go1's
+    # 20/0.5 gains; a B1 batch (separate factory call below) gets 100/2.5
+    # and the 0.8 m spawn height (round-5 fix: one shared go1 config left
+    # B1 born collapsed at zero reward for an entire TPU run)
+    assert env.p_gains.shape == (8, 12)
+    assert float(env.base_init_pos[:, 2].max()) <= 0.35
+
     ppo = PPOArgs(num_steps_per_env=4, num_learning_epochs=1,
                   num_mini_batches=2)
     ts = init_train_state(jax.random.PRNGKey(1), env, ppo, ACArgs())
@@ -118,3 +125,23 @@ def test_multi_env_trains_mixed_batch():
     # physics stayed sane for both embodiments
     z = np.asarray(world.env.phys.base_pos[:, 2])
     assert np.all(np.isfinite(z)) and np.all(z > 0.05)
+
+
+def test_multi_env_b1_gets_own_constants():
+    """B1 in a mixed batch spawns at ITS config's height with ITS gains."""
+    from wtw_tpu.config import go1_flat_config
+    from wtw_tpu.envs.multi_env import make_multi_legged_env
+
+    cfg = go1_flat_config(num_envs=6)
+    env = make_multi_legged_env(cfg, ("go1", "b1"), seed=0)
+    a = env.robot_assignment
+    pg = np.asarray(env.p_gains)
+    ip = np.asarray(env.base_init_pos)
+    assert np.allclose(pg[a == 0], 20.0) and np.allclose(pg[a == 1], 100.0)
+    assert np.allclose(ip[a == 0, 2], 0.30, atol=0.06)
+    assert np.allclose(ip[a == 1, 2], 0.8)
+    # and the spawn actually lands B1 high: init_state must place b1 bases
+    # near 0.8 m
+    world = env.init_state(jax.random.PRNGKey(0))
+    z = np.asarray(world.env.phys.base_pos[:, 2])
+    assert z[a == 1].min() > 0.7 and z[a == 0].max() < 0.45

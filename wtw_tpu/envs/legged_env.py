@@ -108,7 +108,13 @@ class LeggedEnv:
                  env_origins: np.ndarray | None = None,
                  axis_name: str | None = None,
                  physics_backend: str = "auto",
-                 default_joint_q_override: jnp.ndarray | None = None):
+                 default_joint_q_override: jnp.ndarray | None = None,
+                 per_env_control: dict | None = None):
+        # per_env_control: multi-embodiment per-env control constants
+        # (envs.multi_env) — optional keys 'p_gains'/'d_gains' (N, nj) and
+        # 'init_pos' (N, 3); robots as different as Go1 (kp 20) and B1
+        # (kp 100, init z 0.8) need their own gains/spawn heights or the
+        # heavy embodiments are born collapsed.
         # axis_name: mesh axis the env batch is sharded over (None = single
         # device). Cross-shard state (curriculum weights, reward-sign test)
         # is psum-synchronized so replicated leaves stay identical.
@@ -169,8 +175,17 @@ class LeggedEnv:
             else default_joint_angles(
                 model, dict(cfg.init_state.default_joint_angles)))
         self._dq_ax = 0 if self.default_joint_q.ndim == 2 else None
-        self.p_gains = jnp.full((self._nj,), cfg.control.stiffness)
-        self.d_gains = jnp.full((self._nj,), cfg.control.damping)
+        pec = per_env_control or {}
+        self.p_gains = (jnp.asarray(pec["p_gains"], jnp.float32)
+                        if "p_gains" in pec
+                        else jnp.full((self._nj,), cfg.control.stiffness))
+        self.d_gains = (jnp.asarray(pec["d_gains"], jnp.float32)
+                        if "d_gains" in pec
+                        else jnp.full((self._nj,), cfg.control.damping))
+        self._pg_ax = 0 if self.p_gains.ndim == 2 else None
+        self._init_pos_override = (
+            jnp.asarray(pec["init_pos"], jnp.float32)
+            if "init_pos" in pec else None)
         # soft position limits (legged_robot.py:603-607)
         m = (model.joint_lower + model.joint_upper) / 2
         r = model.joint_upper - model.joint_lower
@@ -256,8 +271,11 @@ class LeggedEnv:
             env_origins = org
         self.env_origins = jnp.asarray(env_origins, jnp.float32)
 
-        # init pose height from config
-        self.base_init_pos = jnp.asarray(cfg.init_state.pos, jnp.float32)
+        # init pose height from config (per-env override for mixed batches)
+        self.base_init_pos = (
+            self._init_pos_override if self._init_pos_override is not None
+            else jnp.asarray(cfg.init_state.pos, jnp.float32))
+        self._ip_ax = 0 if self.base_init_pos.ndim == 2 else None
 
         # actuator net (legged_robot.py:1238-1253: torch.jit.load of
         # resources/actuator_nets/unitree_<robot>.pt — here converted .npz
@@ -282,11 +300,12 @@ class LeggedEnv:
         keys = jax.random.split(key, N + 1)
         env_keys = keys[1:]
 
-        def init_one(k, origin, dq):
+        def init_one(k, origin, dq, ip):
             k, k_dr, k_reset = jax.random.split(k, 3)
             dr = self._sample_rigid_dr(k_dr)
             motor = self._sample_dof_dr(jax.random.fold_in(k_dr, 1))
-            phys = self._reset_phys(k_reset, origin, default_q=dq)
+            phys = self._reset_phys(k_reset, origin, default_q=dq,
+                                    init_pos=ip)
             zero_j = jnp.zeros(nj)
             return EnvState(
                 phys=phys, rng=k,
@@ -312,8 +331,9 @@ class LeggedEnv:
                 env_origin=origin, timed_out=jnp.bool_(False),
             )
 
-        env = jax.vmap(init_one, in_axes=(0, 0, self._dq_ax))(
-            env_keys, self.env_origins, self.default_joint_q)
+        env = jax.vmap(init_one, in_axes=(0, 0, self._dq_ax, self._ip_ax))(
+            env_keys, self.env_origins, self.default_joint_q,
+            self.base_init_pos)
         world = WorldState(
             env=env,
             curriculum=curr.init_state(cfg.commands, self.grid),
@@ -370,14 +390,17 @@ class LeggedEnv:
                     Kp_factor=jnp.full((nj,), 1.0) * kp,
                     Kd_factor=jnp.full((nj,), 1.0) * kd)
 
-    def _reset_phys(self, k, origin, default_q=None) -> PhysicsState:
+    def _reset_phys(self, k, origin, default_q=None,
+                    init_pos=None) -> PhysicsState:
         """_reset_dofs + _reset_root_states (legged_robot.py:948-1001).
-        default_q: per-env default joint angles when called under vmap in a
-        multi-embodiment batch (falls back to the shared vector)."""
+        default_q / init_pos: per-env overrides when called under vmap in
+        a multi-embodiment batch (fall back to the shared vectors)."""
         cfg = self.cfg
         nj = self._nj
         if default_q is None:
             default_q = self.default_joint_q
+        if init_pos is None:
+            init_pos = self.base_init_pos
         k1, k2, k3, k4, k5 = jax.random.split(k, 5)
         joint_q = default_q * jax.random.uniform(
             k1, (nj,), minval=0.5, maxval=1.5)
@@ -385,7 +408,7 @@ class LeggedEnv:
             k2, (2,),
             minval=jnp.array([-cfg.terrain.x_init_range, -cfg.terrain.y_init_range]),
             maxval=jnp.array([cfg.terrain.x_init_range, cfg.terrain.y_init_range]))
-        pos = origin + self.base_init_pos + jnp.concatenate(
+        pos = origin + init_pos + jnp.concatenate(
             [xy + jnp.array([cfg.terrain.x_init_offset, cfg.terrain.y_init_offset]),
              jnp.zeros(1)])
         yaw = jax.random.uniform(k3, (), minval=-cfg.terrain.yaw_init_range,
@@ -450,7 +473,7 @@ class LeggedEnv:
     # ------------------------------------------------------------------
     def _compute_torques(self, s: EnvState, actions_scaled: jnp.ndarray,
                          batched: bool = False, default_q=None,
-                         effort_limit=None):
+                         effort_limit=None, p_gains=None, d_gains=None):
         """One decimation substep's torques; returns (torques, updated lag
         buffer, joint_pos_target, actuator history updates). All math
         broadcasts over an optional leading env axis (batched=True shifts
@@ -461,6 +484,10 @@ class LeggedEnv:
             default_q = self.default_joint_q
         if effort_limit is None:
             effort_limit = self.model.effort_limit
+        if p_gains is None:
+            p_gains = self.p_gains
+        if d_gains is None:
+            d_gains = self.d_gains
         if cfg.domain_rand.randomize_lag_timesteps:
             if batched:
                 lag = jnp.concatenate(
@@ -487,8 +514,8 @@ class LeggedEnv:
                         joint_vel_last=qd,
                         joint_vel_last_last=s.joint_vel_last)
         else:
-            tau = (self.p_gains * s.Kp_factor * (target - q + s.motor_offset)
-                   - self.d_gains * s.Kd_factor * qd)
+            tau = (p_gains * s.Kp_factor * (target - q + s.motor_offset)
+                   - d_gains * s.Kd_factor * qd)
             hist = {}
         tau = tau * s.motor_strength
         tau = jnp.clip(tau, -effort_limit, effort_limit)
@@ -552,7 +579,7 @@ class LeggedEnv:
                 cinfo = jax.tree.map(lambda x: x[-1], cinfos)
         else:
             def env_step(s: EnvState, action: jnp.ndarray, m: RobotModel,
-                         dq: jnp.ndarray):
+                         dq: jnp.ndarray, pg: jnp.ndarray, dg: jnp.ndarray):
                 k_next = jax.random.fold_in(s.rng, 3)
                 prev_foot_vel = s.prev_foot_velocities
 
@@ -562,7 +589,7 @@ class LeggedEnv:
                     s_in = carry
                     tau, lag, target, hist = self._compute_torques(
                         s_in, actions_scaled, default_q=dq,
-                        effort_limit=m.effort_limit)
+                        effort_limit=m.effort_limit, p_gains=pg, d_gains=dg)
                     phys, cinfo = physics_step(
                         m, self.hf, self.engine_params, s_in.phys, tau,
                         s_in.friction, s_in.restitution,
@@ -583,8 +610,10 @@ class LeggedEnv:
             # axis (in_axes 0); classic single-robot batches pass them
             # unmapped (in_axes None) — identical lowering to the closure
             env, cinfo, prev_foot_vel, k_next = jax.vmap(
-                env_step, in_axes=(0, 0, self._m_ax, self._dq_ax))(
-                world.env, actions, model, self.default_joint_q)
+                env_step, in_axes=(0, 0, self._m_ax, self._dq_ax,
+                                   self._pg_ax, self._pg_ax))(
+                world.env, actions, model, self.default_joint_q,
+                self.p_gains, self.d_gains)
         env = env.replace(rng=k_next,
                           episode_length=env.episode_length + 1)
         common_step = world.common_step + 1
@@ -838,8 +867,9 @@ class LeggedEnv:
 
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 11))(env.rng)
         new_phys = jax.vmap(self._reset_phys,
-                            in_axes=(0, 0, self._dq_ax))(
-            keys, env.env_origin, self.default_joint_q)
+                            in_axes=(0, 0, self._dq_ax, self._ip_ax))(
+            keys, env.env_origin, self.default_joint_q,
+            self.base_init_pos)
         kdr = jax.vmap(lambda k: jax.random.fold_in(k, 13))(env.rng)
         new_dof = jax.vmap(self._sample_dof_dr)(kdr)
 

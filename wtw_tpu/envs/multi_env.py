@@ -29,16 +29,37 @@ def make_multi_legged_env(cfg: Cfg, robots: Sequence[str] = ("go1", "go2"),
                           proportions: Sequence[float] | None = None,
                           seed: int = 0) -> LeggedEnv:
     """LeggedEnv over a mixed-robot batch. env.robot_assignment (num_envs,)
-    says which robot each env embodies; env.robot_names the order."""
+    says which robot each env embodies; env.robot_names the order.
+
+    Control constants ride the env axis per robot: each embodiment gets ITS
+    OWN flat-preset PD gains, spawn height, and default joint angles (B1:
+    kp 100 / kd 2.5 / init z 0.8 vs Go1's 20 / 0.5 / 0.30 — one shared
+    go1 config leaves the heavy robots born collapsed at zero reward,
+    observed in runs/multi_r5 round 5)."""
+    from ..config import PRESETS
     models = [load_robot(r) for r in robots]
-    angles = dict(cfg.init_state.default_joint_angles)
-    dqs = [default_joint_angles(m, angles) for m in models]
+    rcfgs = []
+    for r in robots:
+        preset = PRESETS.get(f"{r}_flat")
+        rcfgs.append(preset(cfg.env.num_envs) if preset else cfg)
+    dqs = [default_joint_angles(m, dict(rc.init_state.default_joint_angles))
+           for m, rc in zip(models, rcfgs)]
     stacked = stack_models(models)
     per_env, assignment = assign_robots(stacked, cfg.env.num_envs,
                                         proportions, seed=seed)
-    dq = jnp.stack(dqs)[jnp.asarray(assignment)]
+    a = jnp.asarray(assignment)
+    nj = len(models[0].joint_names)
+    dq = jnp.stack(dqs)[a]
+    pg = jnp.stack([jnp.full((nj,), rc.control.stiffness)
+                    for rc in rcfgs])[a]
+    dg = jnp.stack([jnp.full((nj,), rc.control.damping)
+                    for rc in rcfgs])[a]
+    ip = jnp.stack([jnp.asarray(rc.init_state.pos, jnp.float32)
+                    for rc in rcfgs])[a]
     env = LeggedEnv(cfg, per_env, default_joint_q_override=dq,
-                    physics_backend="vmap")
+                    physics_backend="vmap",
+                    per_env_control={"p_gains": pg, "d_gains": dg,
+                                     "init_pos": ip})
     env.robot_assignment = np.asarray(assignment)
     env.robot_names = tuple(robots)
     return env

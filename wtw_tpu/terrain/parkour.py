@@ -94,14 +94,21 @@ def build_parkour(cfg: ParkourTerrainCfg, seed: int = 0) -> TerrainMap:
                 k += 1
             kind = keys[k] if k < len(keys) else "flat"
 
+            # Soft-start ramps are QUADRATIC in difficulty: the round-5
+            # L0-linear ramp produced 97-100% deterministic crossing at
+            # level 0 but stalled by level 3 (+3.7 cm/promotion was too
+            # steep — results/parkour_soft_r5/diag_*). Quadratic ramps
+            # densify the early rungs while keeping the SAME reference-full
+            # endpoints at the top row.
             ss = cfg.soft_start
+            d2 = difficulty * difficulty
             if kind == "gap_parkour":
                 if ss:
-                    # 8 cm slot -> the reference's 0.6 m by the top row;
-                    # slot floor: recoverable 20 cm trench -> lava by mid
-                    gap_length = round(0.08 + 0.058 * i, 2)
-                    gap_depth = max(lava_depth, -(0.2 + 2.0 * difficulty))
-                    gph = min(0.1, 0.03 + 0.15 * difficulty)
+                    # 6 cm slot -> the reference's 0.6 m at the top row;
+                    # slot floor: recoverable 10 cm trench -> lava by d~0.7
+                    gap_length = round(0.06 + 0.54 * d2, 2)
+                    gap_depth = max(lava_depth, -(0.1 + 2.0 * d2))
+                    gph = min(0.1, 0.02 + 0.2 * d2)
                 else:
                     gap_length = round(0.15 + i * 0.05, 2)  # terrainParkour.py:155
                     gap_depth, gph = None, 0.1
@@ -110,7 +117,7 @@ def build_parkour(cfg: ParkourTerrainCfg, seed: int = 0) -> TerrainMap:
                               gap_depth=gap_depth, gap_platform_height=gph)
             elif kind == "jump_parkour":
                 if ss:
-                    height = 0.02 + 0.48 * difficulty    # -> full 0.5 at top
+                    height = 0.02 + 0.48 * d2            # -> full 0.5 at top
                 else:
                     height = (0.05 + 0.37 * difficulty if cfg.easy_mode
                               else 0.05 + 0.45 * difficulty)
@@ -119,17 +126,20 @@ def build_parkour(cfg: ParkourTerrainCfg, seed: int = 0) -> TerrainMap:
             elif kind == "stairs_parkour":
                 G.stairs_parkour(h, rng, horizontal_scale=s,
                                  lava_depth=lava_depth,
-                                 height=0.02 + 0.18 * difficulty)
+                                 height=(0.02 + 0.18 * d2 if ss
+                                         else 0.02 + 0.18 * difficulty))
             elif kind == "hurdle_parkour":
-                height = (0.02 + 0.33 * difficulty if ss   # -> full 0.35
+                height = (0.02 + 0.33 * d2 if ss         # -> full 0.35
                           else 0.05 + 0.3 * difficulty)
                 G.hurdle_parkour(h, rng, horizontal_scale=s,
                                  lava_depth=lava_depth, height=height)
             elif kind == "crawl_parkour":
-                ceiling = (0.38 - 0.12 * difficulty if ss  # -> full 0.26
+                ceiling = (0.38 - 0.12 * d2 if ss        # -> full 0.26
                            else 0.34 - 0.08 * difficulty)  # terrainParkour.py:191
+                step_h = 0.02 + 0.13 * d2 if ss else 0.15  # -> full 0.15
                 G.crawl_parkour(h, ceil, rng, horizontal_scale=s,
-                                lava_depth=lava_depth, height=ceiling)
+                                lava_depth=lava_depth, height=ceiling,
+                                height_step=step_h)
             elif kind == "random_uniform":
                 pass   # add_roughness is a no-op in the reference (:233-241)
 
