@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--steps", type=int, default=512,
                     help="generate: env steps of demos to record")
     ap.add_argument("--env-steps", type=int, default=100_000)
+    ap.add_argument("--ring-steps", type=int, default=256,
+                    help="online replay ring length in env steps (train "
+                         "mode; 512 steps x 1024 envs of ring + demo "
+                         "buffer + update temps OOM a 16 GB chip)")
     ap.add_argument("--actor-delay", type=int, default=None,
                     help="env steps to hold actor updates after a BC warm "
                          "start (default: DDPGArgs.actor_delay_env_steps, "
@@ -80,7 +84,11 @@ def main():
     # default would consume most of a short DDPG phase
     delay = (args.actor_delay if args.actor_delay is not None else
              min(D.DDPGArgs.actor_delay_env_steps, args.env_steps // 8))
-    ddpg_args = D.DDPGArgs(buffer_steps=max(args.steps, 64),
+    # generate mode records args.steps steps, so its buffer must hold them
+    # all; train mode's online ring is independently sized (--ring-steps)
+    ring = max(args.steps, 64) if args.mode == "generate" \
+        else max(args.ring_steps, 64)
+    ddpg_args = D.DDPGArgs(buffer_steps=ring,
                            actor_delay_env_steps=delay)
 
     if args.mode == "generate":

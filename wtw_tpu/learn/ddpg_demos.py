@@ -20,6 +20,7 @@ DDPG_demos_generate.py:120-334).
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any
 
@@ -501,7 +502,10 @@ def train_vision_student(env, expert_buffer: SeqBuffer, total_env_steps: int,
     hidden = jnp.zeros((N, args.rnn_hidden))
     vlat = jnp.zeros((N, args.vision_latent))
 
-    @jax.jit
+    # donate ts/world/rb: the ring alone is ~1.8 GB at 1024 envs x 512
+    # steps — an undonated in/out copy of it OOMed the 16 GB chip the
+    # first time the update graph's temps landed on top (round 5)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 5))
     def collect(ts, world, obs, hidden, vlat, rb, step, key):
         key, k_expl = jax.random.split(key)
         vobs = render(world.env.phys.base_pos, world.env.phys.base_quat,
@@ -525,7 +529,7 @@ def train_vision_student(env, expert_buffer: SeqBuffer, total_env_steps: int,
         return ts.replace(key=key), world2, next_obs, hidden_out, vlat, rb, \
             jnp.mean(rew)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def update_round(ts, rb, expert_buffer, key, actor_on):
         def substep(carry, i):
             ts, key = carry
