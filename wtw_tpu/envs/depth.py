@@ -38,10 +38,16 @@ class DepthCameraCfg:
 
 
 def _pixel_dirs(cfg: DepthCameraCfg) -> np.ndarray:
-    """Unit ray directions in the camera frame (x forward, y left, z up)."""
+    """Unit ray directions in the camera frame (x forward, y left, z up).
+
+    Angular extent matches the reference's PROCESSED image: the 87° hfov
+    spans the native 85-px width, and the shipped 48x48 crop keeps the
+    central 48/85 of it (go2_parkour.py:523 `[..., 19:-18]`) — i.e. a
+    ~56°x56° square. Building a square 48x48 at the full 87° (pre-round-5)
+    gave ~1.5x coarser angular resolution than the reference student saw."""
     hfov = np.radians(cfg.horizontal_fov_deg)
-    # square pixels: vfov set by aspect
-    tan_h = np.tan(hfov / 2)
+    native_w = 85 if cfg.width <= 64 else cfg.width
+    tan_h = np.tan(hfov / 2) * cfg.width / native_w
     tan_v = tan_h * cfg.height / cfg.width
     v = np.linspace(tan_v, -tan_v, cfg.height)     # top -> bottom
     u = np.linspace(tan_h, -tan_h, cfg.width)      # left -> right
